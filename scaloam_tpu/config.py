@@ -1,0 +1,243 @@
+"""Typed configuration tree for the SLAM engine.
+
+Replaces the reference's ROS param server + per-sensor launch files
+(reference: launch/*.launch, param reads at src/scanRegistration.cpp:480-482,
+src/laserOdometry.cpp:191, src/laserMapping.cpp:913-919,
+src/laserPosegraphOptimization.cpp:874-896) and its compile-time constants
+(include/scancontext/Scancontext.h:83-103, src/laserOdometry.cpp:59-66).
+
+Every tunable of the reference is exposed here; the launch presets become
+named constructors (`kitti_hdl64()`, `mulran_os1_64()`, `vlp16()`, `hdl32()`).
+
+Shapes are static by design: the capacity fields (`max_points`,
+`max_points_per_ring`, feature capacities, map capacities, keyframe
+capacity) fix every device array shape so the whole pipeline compiles once.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class SensorConfig:
+    """Lidar geometry + ingest settings (reference: src/scanRegistration.cpp:171-218,480-482)."""
+
+    lidar_type: str = "HDL64"  # one of VLP16 | HDL32 | HDL64 | OS1-64
+    n_scans: int = 64
+    minimum_range: float = 5.0  # near-range dropout (removeClosedPointCloud)
+    scan_period: float = 0.1  # seconds per revolution (10 Hz)
+    # Static capacities (TPU-native: padded fixed shapes).
+    max_points: int = 131072  # raw scan capacity (HDL-64 ~120k pts)
+    max_points_per_ring: int = 4096  # range-image width
+
+
+@dataclasses.dataclass(frozen=True)
+class FeatureConfig:
+    """Curvature feature selection (reference: src/scanRegistration.cpp:269-420)."""
+
+    curvature_window: int = 5  # 11-point curvature stencil
+    n_subregions: int = 6  # per-ring azimuth subregions
+    sharp_per_subregion: int = 2
+    less_sharp_per_subregion: int = 20
+    flat_per_subregion: int = 4
+    curvature_threshold: float = 0.1  # corner if >, surf if <
+    neighbor_suppress_radius: int = 5  # +-5 point suppression
+    neighbor_suppress_gap_sq: float = 0.05  # stop suppression at range jumps
+    less_flat_voxel_size: float = 0.2  # VoxelGrid leaf on less-flat cloud
+    # Feature cloud capacities (fixed shapes).
+    max_sharp: int = 1024
+    max_less_sharp: int = 8192
+    max_flat: int = 2048
+    max_less_flat: int = 32768
+
+
+@dataclasses.dataclass(frozen=True)
+class OdometryConfig:
+    """Scan-to-scan GN solve (reference: src/laserOdometry.cpp:59-66,278-499)."""
+
+    outer_iterations: int = 2  # data re-association passes
+    gn_iterations: int = 4  # Ceres max_num_iterations equivalent
+    distance_sq_threshold: float = 25.0  # correspondence gate (m^2)
+    nearby_scan: float = 2.5  # ring-distance window for 2nd/3rd points
+    huber_delta: float = 0.1  # Huber loss scale
+    skip_frame: int = 1  # mapping_skip_frame: republish cadence
+    min_correspondences: int = 10  # degenerate guard (:488-491)
+    distortion: bool = False  # DISTORTION 0 in reference (:59)
+
+
+@dataclasses.dataclass(frozen=True)
+class MappingConfig:
+    """Scan-to-map GN refine vs a sliding-window voxel map.
+
+    Reference keeps a 21x21x11 array of 50 m cubes and matches against the
+    5x5x3 neighborhood (src/laserMapping.cpp:74-104,513-538). Here the
+    matching map is a fixed-capacity voxel-deduplicated point set windowed
+    around the pose, functionally equivalent to that 250x250x150 m gather.
+    """
+
+    line_resolution: float = 0.4  # corner map voxel size (mapping_line_resolution)
+    plane_resolution: float = 0.8  # surf map voxel size (mapping_plane_resolution)
+    window_radius_xy: float = 125.0  # half-extent of 5x5 cubes of 50 m
+    window_radius_z: float = 75.0  # half-extent of 3 cubes of 50 m
+    outer_iterations: int = 2  # (:563)
+    gn_iterations: int = 4  # (:713-721)
+    huber_delta: float = 0.1
+    knn: int = 5  # 5-NN for line/plane fits
+    corner_nn_max_dist: float = 1.0  # corners: all 5 NN within 1 m (:612 via sqrDist[4]<1.0)
+    surf_nn_max_dist_sq: float = 1.0  # surfs: sqrDist[4] < 1.0 gate (:655)
+    edge_eig_ratio: float = 3.0  # lambda2 > 3*lambda1 edge test (:612)
+    plane_fit_tol: float = 0.2  # |n.p + d| <= 0.2 validity (:670-680)
+    min_corner_map: int = 10  # minimum map density guards (:555)
+    min_surf_map: int = 50
+    max_corner_map: int = 65536  # device map capacities
+    max_surf_map: int = 131072
+    max_corner_input: int = 4096  # downsampled input capacities
+    max_surf_input: int = 16384
+
+
+@dataclasses.dataclass(frozen=True)
+class ScanContextConfig:
+    """ScanContext descriptor + retrieval (reference: include/scancontext/Scancontext.h:83-103)."""
+
+    num_ring: int = 20
+    num_sector: int = 60
+    max_radius: float = 80.0  # sc_max_radius (20-40 indoor)
+    lidar_height: float = 2.0  # added to z before binning
+    search_ratio: float = 0.1  # column shift search window
+    dist_threshold: float = 0.2  # sc_dist_thres (0.4 for KITTI)
+    num_exclude_recent: int = 30
+    num_candidates: int = 10  # ring-key KNN candidates.
+    # Reference uses 3 via a KD-tree; dense matmul retrieval makes a larger,
+    # strictly-better candidate set free. Set to 3 for exact parity.
+    max_keyframes: int = 4096  # descriptor DB capacity
+    max_input_points: int = 131072
+
+
+@dataclasses.dataclass(frozen=True)
+class LoopClosureConfig:
+    """SC loop candidate verification by ICP (reference: src/laserPosegraphOptimization.cpp:497-548)."""
+
+    submap_half_keyframes: int = 25  # +-25 KF target submap (:500-504)
+    icp_max_iterations: int = 20  # pcl default-style budget (ref caps at 100, converges earlier)
+    icp_max_corr_dist: float = 150.0  # setMaxCorrespondenceDistance (:519)
+    fitness_threshold: float = 0.3  # accept loop if fitness score < 0.3 (:531)
+    max_submap_points: int = 65536
+    max_source_points: int = 8192
+
+
+@dataclasses.dataclass(frozen=True)
+class PGOConfig:
+    """Pose-graph backend (reference: src/laserPosegraphOptimization.cpp:284-310,433-444,874-896)."""
+
+    keyframe_meter_gap: float = 2.0
+    keyframe_deg_gap: float = 10.0
+    keyframe_voxel_size: float = 0.4  # downsample of stored keyframe clouds (:629-631)
+    # Noise variances, GTSAM ordering (rot x3, trans x3) (initNoises :284-310).
+    prior_variance: float = 1e-12
+    odom_rot_variance: float = 1e-6
+    odom_trans_variance: float = 1e-4
+    loop_variance: float = 0.5
+    cauchy_k: float = 1.0  # robust Cauchy scale for loop + GPS factors
+    gps_xy_variance: float = 1e9  # effectively ignore XY
+    gps_z_variance: float = 250.0  # altitude-only GPS factor
+    gps_time_tolerance: float = 0.1  # odom-GPS association window (:581-594)
+    # Batch GN solver (replaces iSAM2; 1 Hz cadence per reference :791-808).
+    gn_iterations: int = 8
+    lm_damping: float = 1e-6
+    max_keyframes: int = 4096
+    max_loops: int = 512
+    optimize_every_n_keyframes: int = 1  # solve cadence in sync driver
+
+
+@dataclasses.dataclass(frozen=True)
+class RuntimeConfig:
+    """Host pipeline behavior (reference: ROS pub/sub + worker threads)."""
+
+    queue_depth: int = 100  # ROS queue sizes
+    drop_backlog: bool = True  # laserMapping.cpp:300-304 real-time policy
+    loop_detection_hz: float = 1.0
+    pgo_hz: float = 1.0
+    stage_budget_ms: float = 100.0  # real-time alarm threshold
+    save_directory: str = ""  # artifact output dir ("" = disabled)
+
+
+@dataclasses.dataclass(frozen=True)
+class SlamConfig:
+    sensor: SensorConfig = dataclasses.field(default_factory=SensorConfig)
+    features: FeatureConfig = dataclasses.field(default_factory=FeatureConfig)
+    odometry: OdometryConfig = dataclasses.field(default_factory=OdometryConfig)
+    mapping: MappingConfig = dataclasses.field(default_factory=MappingConfig)
+    scancontext: ScanContextConfig = dataclasses.field(default_factory=ScanContextConfig)
+    loop: LoopClosureConfig = dataclasses.field(default_factory=LoopClosureConfig)
+    pgo: PGOConfig = dataclasses.field(default_factory=PGOConfig)
+    runtime: RuntimeConfig = dataclasses.field(default_factory=RuntimeConfig)
+
+    def replace(self, **kwargs) -> "SlamConfig":
+        return dataclasses.replace(self, **kwargs)
+
+
+def _preset(sensor: SensorConfig, sc_dist: float, kf_gap: float) -> SlamConfig:
+    cfg = SlamConfig(sensor=sensor)
+    cfg = cfg.replace(
+        scancontext=dataclasses.replace(cfg.scancontext, dist_threshold=sc_dist),
+        pgo=dataclasses.replace(cfg.pgo, keyframe_meter_gap=kf_gap),
+    )
+    return cfg
+
+
+def kitti_hdl64() -> SlamConfig:
+    """launch/aloam_velodyne_HDL_64.launch: min_range 5, sc_dist 0.4, kf gap 2 m."""
+    return _preset(
+        SensorConfig(lidar_type="HDL64", n_scans=64, minimum_range=5.0),
+        sc_dist=0.4,
+        kf_gap=2.0,
+    )
+
+
+def mulran_os1_64() -> SlamConfig:
+    """launch/aloam_mulran.launch: OS1-64, min_range 0.5, sc_dist 0.2, kf gap 1 m."""
+    return _preset(
+        SensorConfig(lidar_type="OS1-64", n_scans=64, minimum_range=0.5),
+        sc_dist=0.2,
+        kf_gap=1.0,
+    )
+
+
+def vlp16() -> SlamConfig:
+    """launch/aloam_velodyne_VLP_16.launch."""
+    return _preset(
+        SensorConfig(
+            lidar_type="VLP16",
+            n_scans=16,
+            minimum_range=0.3,
+            max_points=32768,
+            max_points_per_ring=2048,
+        ),
+        sc_dist=0.2,
+        kf_gap=2.0,
+    )
+
+
+def hdl32() -> SlamConfig:
+    """launch/aloam_velodyne_HDL_32.launch."""
+    return _preset(
+        SensorConfig(
+            lidar_type="HDL32",
+            n_scans=32,
+            minimum_range=0.3,
+            max_points=65536,
+            max_points_per_ring=2048,
+        ),
+        sc_dist=0.2,
+        kf_gap=2.0,
+    )
+
+
+PRESETS = {
+    "kitti_hdl64": kitti_hdl64,
+    "mulran_os1_64": mulran_os1_64,
+    "vlp16": vlp16,
+    "hdl32": hdl32,
+}

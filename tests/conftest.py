@@ -1,0 +1,27 @@
+"""Test harness: force an 8-device virtual CPU mesh so sharding code is
+exercised without TPU hardware (the standard JAX pod-slice test pattern).
+
+Note: the environment's axon TPU plugin force-sets jax_platforms="axon,cpu"
+from sitecustomize, so the env-var override alone is not enough — we must
+update jax.config after import, before any backend is initialized.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
