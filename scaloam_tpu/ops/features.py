@@ -1,0 +1,357 @@
+"""Curvature feature extraction — the scanRegistration stage as one jitted kernel.
+
+Reference: src/scanRegistration.cpp (517 LoC). Per scan:
+  1. NaN / near-range removal                      (:88-114,135-139)
+  2. vertical angle -> ring id per lidar model     (:171-218)
+  3. azimuth unwrap -> relative scan time          (:143-155,221-253)
+  4. 11-point curvature                            (:269-279)
+  5. per (ring, 6 azimuth subregions): greedy top-k by curvature with
+     +-5-point neighbor suppression: 2 sharp + 20 less-sharp corners
+     (curv > 0.1), 4 flat surf (curv < 0.1)        (:290-412)
+  6. less-flat = all non-corner subregion points, voxel-filtered 0.2 m
+     per ring                                      (:359-420)
+
+TPU-native design (SURVEY.md §7): the dynamic per-ring vectors become a
+dense range image [n_scans, W]; the greedy sorted-scan-with-suppression
+becomes an equivalent iterated masked argmax/argmin (picking the best
+unsuppressed candidate k times IS the greedy scan over a sorted list);
+the per-point sequential `halfPassed` azimuth unwrap becomes an exclusive
+cumulative-max, which is exactly the sticky one-way flip of the reference.
+
+Deviation (documented): curvature windows and neighbor suppression are
+clamped within each ring, where the reference computes them on the
+ring-concatenated cloud so windows can straddle ring boundaries. Straddling
+points are excluded from feature selection in the reference anyway
+(selection range [start+5, end-6]), so selected features are unaffected.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from scaloam_tpu.config import SlamConfig
+from scaloam_tpu.types import FeatureCloud, LidarScan, RangeImage, ScanFeatures
+from scaloam_tpu.ops import voxel
+
+_NEG = jnp.float32(-1e30)
+_POS = jnp.float32(1e30)
+
+
+# ---------------------------------------------------------------------------
+# Ring id per lidar model (src/scanRegistration.cpp:171-218)
+# ---------------------------------------------------------------------------
+
+
+def _ring_id(xyz: jax.Array, lidar_type: str, n_scans: int):
+    """Vertical angle -> (ring id, valid). C++ int() truncates toward zero."""
+    angle = jnp.degrees(
+        jnp.arctan2(xyz[:, 2], jnp.sqrt(xyz[:, 0] ** 2 + xyz[:, 1] ** 2))
+    )
+    trunc = lambda v: jnp.trunc(v).astype(jnp.int32)
+    if lidar_type == "VLP16":
+        sid = trunc((angle + 15.0) / 2.0 + 0.5)
+        ok = (sid >= 0) & (sid <= n_scans - 1)
+    elif lidar_type == "HDL32":
+        sid = trunc((angle + 92.0 / 3.0) * 3.0 / 4.0)
+        ok = (sid >= 0) & (sid <= n_scans - 1)
+    elif lidar_type == "HDL64":
+        upper = trunc((2.0 - angle) * 3.0 + 0.5)
+        lower = n_scans // 2 + trunc((-8.83 - angle) * 2.0 + 0.5)
+        sid = jnp.where(angle >= -8.83, upper, lower)
+        ok = (angle <= 2.0) & (angle >= -24.33) & (sid >= 0) & (sid <= 50)
+    elif lidar_type == "OS1-64":
+        sid = trunc((angle + 22.5) / 2.0 + 0.5)
+        ok = (sid >= 0) & (sid <= n_scans - 1)
+    else:
+        raise ValueError(f"unknown lidar_type {lidar_type}")
+    return jnp.clip(sid, 0, n_scans - 1), ok
+
+
+# ---------------------------------------------------------------------------
+# Azimuth unwrap -> relative time (src/scanRegistration.cpp:141-253)
+# ---------------------------------------------------------------------------
+
+
+def _relative_time(xyz: jax.Array, valid: jax.Array, flip_valid: jax.Array):
+    """Vectorized equivalent of the sequential halfPassed unwrap.
+
+    `valid` (range-filtered) picks start/end azimuths; `flip_valid`
+    (also ring-filtered) gates the halfPassed flip, matching the
+    reference's `continue` ordering."""
+    n = xyz.shape[0]
+    pi = jnp.pi
+    ori_raw = -jnp.arctan2(xyz[:, 1], xyz[:, 0])
+
+    first = jnp.argmax(valid)
+    last = n - 1 - jnp.argmax(valid[::-1])
+    start_ori = ori_raw[first]
+    end_ori = ori_raw[last] + 2 * pi
+    d = end_ori - start_ori
+    end_ori = jnp.where(d > 3 * pi, end_ori - 2 * pi, jnp.where(d < pi, end_ori + 2 * pi, end_ori))
+
+    # First-half adjustment.
+    o1 = ori_raw
+    o1 = jnp.where(o1 < start_ori - pi / 2, o1 + 2 * pi, o1)
+    o1 = jnp.where(o1 > start_ori + 3 * pi / 2, o1 - 2 * pi, o1)
+    flip = (o1 - start_ori > pi) & flip_valid
+    # Sticky flip, exclusive (the flipping point itself still uses first-half).
+    half_passed = jnp.concatenate([jnp.array([False]), jnp.cumsum(flip)[:-1] > 0])
+
+    # Second-half adjustment.
+    o2 = ori_raw + 2 * pi
+    o2 = jnp.where(o2 < end_ori - 3 * pi / 2, o2 + 2 * pi, o2)
+    o2 = jnp.where(o2 > end_ori + pi / 2, o2 - 2 * pi, o2)
+
+    ori = jnp.where(half_passed, o2, o1)
+    rel = (ori - start_ori) / (end_ori - start_ori)
+    return rel
+
+
+# ---------------------------------------------------------------------------
+# Range image build
+# ---------------------------------------------------------------------------
+
+
+def build_range_image(
+    xyz: jax.Array, ring: jax.Array, rel_time: jax.Array, valid: jax.Array,
+    n_scans: int, width: int,
+) -> RangeImage:
+    """Bucket stream-ordered points into [n_scans, width], preserving order
+    (the reference's per-ring push_back, src/scanRegistration.cpp:253)."""
+    n = xyz.shape[0]
+    key = jnp.where(valid, ring, n_scans)
+    order = jnp.argsort(key, stable=True)
+    ring_s = key[order]
+    full_counts = jax.ops.segment_sum(
+        jnp.ones((n,), jnp.int32), ring_s, num_segments=n_scans + 1
+    )[:n_scans]
+    counts = jnp.minimum(full_counts, width)
+    full_starts = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(full_counts)]
+    )[:-1]
+    # position within ring = sorted position - ring start
+    sorted_pos = jnp.arange(n)
+    ring_of = jnp.minimum(ring_s, n_scans - 1)
+    pos = sorted_pos - full_starts[ring_of]
+    ok = (ring_s < n_scans) & (pos < width)
+    row = jnp.where(ok, ring_s, n_scans)
+    col = jnp.where(ok, pos, 0)
+
+    img = jnp.zeros((n_scans + 1, width, 3), jnp.float32).at[row, col].set(
+        xyz[order], mode="drop"
+    )[:n_scans]
+    msk = jnp.zeros((n_scans + 1, width), bool).at[row, col].set(
+        ok, mode="drop"
+    )[:n_scans]
+    rt = jnp.zeros((n_scans + 1, width), jnp.float32).at[row, col].set(
+        rel_time[order], mode="drop"
+    )[:n_scans]
+    return RangeImage(xyz=img, mask=msk, rel_time=rt, count=counts)
+
+
+# ---------------------------------------------------------------------------
+# Curvature + suppression reach
+# ---------------------------------------------------------------------------
+
+
+def _curvature(img: jax.Array) -> jax.Array:
+    """curv[r,j] = | sum_{|l|<=5} x[r,j+l] - 11*x[r,j] |^2 (11-point stencil,
+    src/scanRegistration.cpp:269-279). Edges are masked by the caller."""
+    w = img.shape[1]
+    csum = jnp.cumsum(jnp.pad(img, ((0, 0), (1, 0), (0, 0))), axis=1)
+    # window sum over [j-5, j+5]: pad by 5 on both sides of csum index space
+    padded = jnp.pad(csum, ((0, 0), (5, 5), (0, 0)), mode="edge")
+    win = padded[:, 11:] - padded[:, :-11]  # [r, w+? ] -> [r, w]
+    win = win[:, :w]
+    diff = win - 11.0 * img
+    return jnp.sum(diff * diff, axis=-1)
+
+
+def _suppression_reach(img: jax.Array, count: jax.Array, radius: int, gap_sq: float):
+    """For each point, how far neighbor suppression extends right/left before
+    hitting a range discontinuity (src/scanRegistration.cpp:332-355)."""
+    w = img.shape[1]
+    d = img[:, 1:] - img[:, :-1]
+    g = jnp.sum(d * d, axis=-1)  # gap between j and j+1
+    in_ring = jnp.arange(w - 1)[None, :] < (count[:, None] - 1)
+    ok = (g <= gap_sq) & in_ring  # may suppress across gap j<->j+1
+    okp = jnp.pad(ok, ((0, 0), (0, radius)))  # right lookahead
+    right = jnp.zeros(img.shape[:2], jnp.int32)
+    run = jnp.ones(img.shape[:2], bool)
+    for l in range(radius):
+        run = run & okp[:, l : l + w]
+        right = right + run.astype(jnp.int32)
+    okp2 = jnp.pad(ok, ((0, 0), (radius, 0)))
+    left = jnp.zeros(img.shape[:2], jnp.int32)
+    run = jnp.ones(img.shape[:2], bool)
+    for l in range(radius):
+        run = run & okp2[:, radius - 1 - l : radius - 1 - l + w]
+        left = left + run.astype(jnp.int32)
+    return left, right
+
+
+# ---------------------------------------------------------------------------
+# Main kernel
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def extract_features(scan: LidarScan, cfg: SlamConfig) -> ScanFeatures:
+    sensor, feat = cfg.sensor, cfg.features
+    S, W = sensor.n_scans, sensor.max_points_per_ring
+    xyz, mask = scan.xyz, scan.mask
+
+    # 1. NaN + near-range removal (removeClosedPointCloud, :88-114).
+    finite = jnp.all(jnp.isfinite(xyz), axis=-1)
+    rng_sq = jnp.sum(xyz * xyz, axis=-1)
+    valid = mask & finite & (rng_sq >= sensor.minimum_range**2)
+
+    # 2-3. Ring id + relative time on the stream.
+    ring, ring_ok = _ring_id(xyz, sensor.lidar_type, S)
+    rel = _relative_time(xyz, valid, valid & ring_ok)
+    valid = valid & ring_ok
+
+    # 4. Range image.
+    ri = build_range_image(xyz, ring, rel, valid, S, W)
+    img, count = ri.xyz, ri.count
+
+    curv = _curvature(img)
+    jj = jnp.arange(W)[None, :]
+    feat_range = (jj >= 5) & (jj <= count[:, None] - 6)
+
+    left_ext, right_ext = _suppression_reach(
+        img, count, feat.neighbor_suppress_radius, feat.neighbor_suppress_gap_sq
+    )
+
+    # Subregion boundaries (ring-local; :290-296).
+    NSUB = feat.n_subregions
+    L = count - 11  # selectable span length
+    j_sub = jnp.arange(NSUB)
+    sp = 5 + (L[:, None] * j_sub[None, :]) // NSUB  # [S, NSUB]
+    ep = 5 + (L[:, None] * (j_sub[None, :] + 1)) // NSUB - 1
+    ring_sel_ok = L >= NSUB  # `if scanEnd - scanStart < 6 continue` (:292)
+
+    LMAX = (W - 11 + NSUB - 1) // NSUB + 1
+    LMAX = -(-LMAX // 128) * 128  # lane-align
+    l_off = jnp.arange(LMAX)[None, :]
+
+    n_sharp = feat.sharp_per_subregion
+    n_corner = feat.less_sharp_per_subregion
+    n_flat = feat.flat_per_subregion
+
+    def gather_sub(arr, s):
+        jjj = jnp.clip(sp[:, s, None] + l_off, 0, W - 1)
+        return arr[jnp.arange(S)[:, None], jjj], jjj
+
+    def pick_loop(s, state):
+        suppressed, labels, corner_idx, corner_ok, flat_idx, flat_ok = state
+        within = l_off <= (ep[:, s, None] - sp[:, s, None])
+        base_ok = within & ring_sel_ok[:, None]
+
+        def one_corner(p, st):
+            suppressed, labels, corner_idx, corner_ok = st
+            c_sub, jsub = gather_sub(curv, s)
+            sup_sub = suppressed[jnp.arange(S)[:, None], jsub]
+            cand = base_ok & ~sup_sub & (c_sub > feat.curvature_threshold)
+            val = jnp.where(cand, c_sub, _NEG)
+            lstar = jnp.argmax(val, axis=1)
+            found = jnp.any(cand, axis=1)
+            jstar = sp[:, s] + lstar
+            jstar_c = jnp.clip(jstar, 0, W - 1)
+            rows = jnp.arange(S)
+            lo = jstar - left_ext[rows, jstar_c]
+            hi = jstar + right_ext[rows, jstar_c]
+            band = (jj >= lo[:, None]) & (jj <= hi[:, None]) & found[:, None]
+            suppressed = suppressed | band
+            labels = labels.at[rows, jstar_c].max(
+                jnp.where(found, jnp.where(p < n_sharp, 2, 1), 0)
+            )
+            corner_idx = corner_idx.at[:, s, p].set(jstar_c)
+            corner_ok = corner_ok.at[:, s, p].set(found)
+            return suppressed, labels, corner_idx, corner_ok
+
+        suppressed, labels, corner_idx, corner_ok = jax.lax.fori_loop(
+            0, n_corner, one_corner, (suppressed, labels, corner_idx, corner_ok)
+        )
+
+        def one_flat(p, st):
+            suppressed, labels, flat_idx, flat_ok = st
+            c_sub, jsub = gather_sub(curv, s)
+            sup_sub = suppressed[jnp.arange(S)[:, None], jsub]
+            cand = base_ok & ~sup_sub & (c_sub < feat.curvature_threshold)
+            val = jnp.where(cand, c_sub, _POS)
+            lstar = jnp.argmin(val, axis=1)
+            found = jnp.any(cand, axis=1)
+            jstar = sp[:, s] + lstar
+            jstar_c = jnp.clip(jstar, 0, W - 1)
+            rows = jnp.arange(S)
+            lo = jstar - left_ext[rows, jstar_c]
+            hi = jstar + right_ext[rows, jstar_c]
+            # Reference quirk: the final flat pick breaks out BEFORE marking
+            # its neighborhood (smallestPickedNum >= 4 check precedes the
+            # suppression loop, src/scanRegistration.cpp:367-371).
+            do_sup = found & (p < n_flat - 1)
+            band = (jj >= lo[:, None]) & (jj <= hi[:, None]) & do_sup[:, None]
+            suppressed = suppressed | band
+            flat_idx = flat_idx.at[:, s, p].set(jstar_c)
+            flat_ok = flat_ok.at[:, s, p].set(found)
+            return suppressed, labels, flat_idx, flat_ok
+
+        suppressed, labels, flat_idx, flat_ok = jax.lax.fori_loop(
+            0, n_flat, one_flat, (suppressed, labels, flat_idx, flat_ok)
+        )
+        return suppressed, labels, corner_idx, corner_ok, flat_idx, flat_ok
+
+    init = (
+        jnp.zeros((S, W), bool),  # suppressed (cloudNeighborPicked)
+        jnp.zeros((S, W), jnp.int32),  # labels (2 sharp, 1 less-sharp)
+        jnp.zeros((S, NSUB, n_corner), jnp.int32),
+        jnp.zeros((S, NSUB, n_corner), bool),
+        jnp.zeros((S, NSUB, n_flat), jnp.int32),
+        jnp.zeros((S, NSUB, n_flat), bool),
+    )
+    _, labels, corner_idx, corner_ok, flat_idx, flat_ok = jax.lax.fori_loop(
+        0, NSUB, pick_loop, init
+    )
+
+    rows3 = jnp.arange(S)[:, None, None]
+
+    def to_cloud(idx, ok, capacity, first_k=None):
+        if first_k is not None:
+            idx, ok = idx[:, :, :first_k], ok[:, :, :first_k]
+        g_xyz = img[rows3, idx].reshape(-1, 3)
+        g_ring = jnp.broadcast_to(
+            jnp.arange(S, dtype=jnp.float32)[:, None, None], idx.shape
+        ).reshape(-1)
+        g_rt = ri.rel_time[rows3, idx].reshape(-1)
+        m, x, r, t = voxel.compact(ok.reshape(-1), capacity, g_xyz, g_ring, g_rt)
+        return FeatureCloud(xyz=x, ring=jnp.where(m, r, -1.0), rel_time=t, mask=m)
+
+    sharp = to_cloud(corner_idx, corner_ok, feat.max_sharp, first_k=n_sharp)
+    less_sharp = to_cloud(corner_idx, corner_ok, feat.max_less_sharp)
+    flat = to_cloud(flat_idx, flat_ok, feat.max_flat)
+
+    # Less-flat: subregion points not labeled corner (label <= 0, :404-408),
+    # voxel-filtered per ring at 0.2 m (:414-419).
+    sub_range = (jj >= 5) & (jj <= (count[:, None] - 7)) & ring_sel_ok[:, None]
+    lf_mask = sub_range & (labels <= 0) & ri.mask
+    lf_xyz = img.reshape(-1, 3)
+    lf_m = lf_mask.reshape(-1)
+    ring_grid = jnp.broadcast_to(jnp.arange(S)[:, None], (S, W)).reshape(-1)
+    extra = jnp.stack(
+        [ring_grid.astype(jnp.float32), ri.rel_time.reshape(-1)], axis=-1
+    )
+    dx, dm, de = voxel.voxel_downsample(
+        lf_xyz, lf_m, feat.less_flat_voxel_size, feat.max_less_flat,
+        extra=extra, group_key=ring_grid,
+    )
+    less_flat = FeatureCloud(
+        xyz=dx, ring=jnp.where(dm, de[:, 0], -1.0), rel_time=de[:, 1], mask=dm
+    )
+
+    return ScanFeatures(
+        sharp=sharp, less_sharp=less_sharp, flat=flat, less_flat=less_flat, full=ri
+    )

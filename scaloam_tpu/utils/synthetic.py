@@ -1,0 +1,125 @@
+"""Synthetic spinning-lidar simulator.
+
+Generates HDL-64-like scans by ray-casting a ground plane + axis-aligned
+boxes, in stream (azimuth-major) order — the point ordering the azimuth
+unwrap of scanRegistration expects. Used for golden tests (the reference
+repo has no test data beyond 21 sample keyframes) and for benchmarks.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class World:
+    boxes: np.ndarray  # [B, 2, 3] (min, max) corners
+    ground_z: float = 0.0
+
+
+def make_world(seed: int = 0, n_boxes: int = 40, extent: float = 60.0) -> World:
+    rng = np.random.default_rng(seed)
+    centers = rng.uniform(-extent, extent, size=(n_boxes, 2))
+    # keep a clear corridor near the origin so the sensor isn't inside a box
+    keep = np.linalg.norm(centers, axis=1) > 8.0
+    centers = centers[keep]
+    sizes = rng.uniform(1.0, 6.0, size=(centers.shape[0], 2))
+    heights = rng.uniform(2.0, 8.0, size=(centers.shape[0],))
+    mins = np.concatenate(
+        [centers - sizes / 2, np.zeros((centers.shape[0], 1))], axis=1
+    )
+    maxs = np.concatenate(
+        [centers + sizes / 2, heights[:, None]], axis=1
+    )
+    return World(boxes=np.stack([mins, maxs], axis=1))
+
+
+def _ray_box(o: np.ndarray, d: np.ndarray, boxes: np.ndarray) -> np.ndarray:
+    """Slab intersection. o,d: [N,3]; boxes: [B,2,3]. Returns t [N] (inf if none)."""
+    inv = 1.0 / np.where(np.abs(d) < 1e-9, 1e-9, d)
+    t0 = (boxes[None, :, 0, :] - o[:, None, :]) * inv[:, None, :]
+    t1 = (boxes[None, :, 1, :] - o[:, None, :]) * inv[:, None, :]
+    tmin = np.minimum(t0, t1).max(axis=-1)  # [N, B]
+    tmax = np.maximum(t0, t1).min(axis=-1)
+    hit = (tmax >= tmin) & (tmax > 0)
+    t = np.where(hit, np.where(tmin > 0, tmin, np.inf), np.inf)
+    return t.min(axis=-1)
+
+
+def simulate_scan(
+    world: World,
+    sensor_pos: np.ndarray,
+    sensor_yaw: float,
+    n_scans: int = 64,
+    n_azimuth: int = 1024,
+    max_range: float = 80.0,
+    noise: float = 0.01,
+    seed: int = 0,
+) -> np.ndarray:
+    """One revolution; returns [M, 3] float32 points in sensor frame,
+    azimuth-major stream order, misses dropped."""
+    rng = np.random.default_rng(seed)
+    # HDL-64-ish elevation ladder: +2 .. -24.33 deg.
+    elev = np.deg2rad(np.linspace(2.0, -24.0, n_scans))
+    azim = np.linspace(-np.pi + 1e-3, np.pi - 1e-3, n_azimuth, endpoint=False)
+    # stream order: azimuth outer, ring inner
+    a = np.repeat(azim, n_scans)
+    e = np.tile(elev, n_azimuth)
+    # direction chosen so ori = -atan2(y, x) == a (monotone over the stream)
+    d_sensor = np.stack(
+        [np.cos(e) * np.cos(a), -np.cos(e) * np.sin(a), np.sin(e)], axis=1
+    )
+    cy, sy = np.cos(sensor_yaw), np.sin(sensor_yaw)
+    R = np.array([[cy, -sy, 0.0], [sy, cy, 0.0], [0.0, 0.0, 1.0]])
+    d_world = d_sensor @ R.T
+    o = np.broadcast_to(sensor_pos, d_world.shape).astype(np.float64)
+
+    t_box = _ray_box(o, d_world, world.boxes)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t_ground = np.where(
+            d_world[:, 2] < -1e-6,
+            (world.ground_z - o[:, 2]) / d_world[:, 2],
+            np.inf,
+        )
+    t = np.minimum(t_box, t_ground)
+    hit = np.isfinite(t) & (t < max_range) & (t > 0.5)
+    t = t + rng.normal(0.0, noise, size=t.shape)
+    pts = (d_sensor * t[:, None])[hit]
+    return pts.astype(np.float32)
+
+
+def simulate_trajectory(
+    world: World,
+    n_frames: int,
+    speed: float = 1.0,
+    radius: float = 25.0,
+    n_scans: int = 64,
+    n_azimuth: int = 1024,
+    closed_loop: bool = True,
+    seed: int = 0,
+) -> Tuple[list, np.ndarray]:
+    """Drive a circle through the world (closes a loop if n_frames covers it).
+
+    Returns (scans, gt_poses[N,4,4]) with scans in each sensor frame and
+    ground-truth sensor-to-world transforms."""
+    scans, poses = [], []
+    for i in range(n_frames):
+        theta = speed * i / radius
+        pos = np.array(
+            [radius * np.sin(theta), radius * (1 - np.cos(theta)), 1.8]
+        )
+        yaw = theta
+        scans.append(
+            simulate_scan(
+                world, pos, yaw, n_scans=n_scans, n_azimuth=n_azimuth, seed=seed + i
+            )
+        )
+        cy, sy = np.cos(yaw), np.sin(yaw)
+        T = np.eye(4)
+        T[:3, :3] = np.array([[cy, -sy, 0], [sy, cy, 0], [0, 0, 1]])
+        T[:3, 3] = pos
+        poses.append(T)
+    return scans, np.stack(poses)

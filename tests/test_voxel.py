@@ -1,0 +1,74 @@
+"""voxel_downsample + brute-force knn vs plain numpy references."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from scaloam_tpu.ops import voxel
+
+
+def test_voxel_downsample_centroids(rng):
+    pts = rng.uniform(-5, 5, size=(500, 3)).astype(np.float32)
+    mask = np.ones(500, bool)
+    mask[450:] = False
+    vs = 1.0
+    out_xyz, out_mask, _ = voxel.voxel_downsample(
+        jnp.array(pts), jnp.array(mask), vs, capacity=1024
+    )
+    # numpy reference: centroid per occupied voxel
+    keys = {}
+    for p in pts[:450]:
+        k = tuple(np.floor(p / vs).astype(int))
+        keys.setdefault(k, []).append(p)
+    want = np.array([np.mean(v, axis=0) for v in keys.values()])
+    got = np.asarray(out_xyz)[np.asarray(out_mask)]
+    assert got.shape[0] == want.shape[0]
+    got_s = got[np.lexsort(got.T)]
+    want_s = want[np.lexsort(want.T)]
+    np.testing.assert_allclose(got_s, want_s, atol=1e-5)
+
+
+def test_voxel_downsample_group_key(rng):
+    pts = np.zeros((10, 3), np.float32)  # all in one voxel
+    groups = np.array([0] * 5 + [1] * 5, np.int32)
+    mask = np.ones(10, bool)
+    _, out_mask, _ = voxel.voxel_downsample(
+        jnp.array(pts), jnp.array(mask), 1.0, capacity=16,
+        group_key=jnp.array(groups),
+    )
+    assert int(np.asarray(out_mask).sum()) == 2  # one voxel per group
+
+
+def test_knn_exact(rng):
+    q = rng.normal(size=(100, 3)).astype(np.float32)
+    t = rng.normal(size=(4096, 3)).astype(np.float32)
+    tmask = np.ones(4096, bool)
+    tmask[4000:] = False
+    d, i = voxel.knn(
+        jnp.array(q), jnp.ones(100, bool), jnp.array(t), jnp.array(tmask),
+        k=5, tile=1024,
+    )
+    d, i = np.asarray(d), np.asarray(i)
+    full = ((q[:, None, :] - t[None, :4000, :]) ** 2).sum(-1)
+    want_i = np.argsort(full, axis=1)[:, :5]
+    want_d = np.take_along_axis(full, want_i, axis=1)
+    np.testing.assert_allclose(np.sort(d, axis=1), np.sort(want_d, axis=1), rtol=1e-3, atol=1e-4)
+    # indices match where distances are distinct
+    np.testing.assert_array_equal(np.sort(i, axis=1), np.sort(want_i, axis=1))
+
+
+def test_knn_respects_masks(rng):
+    q = rng.normal(size=(8, 3)).astype(np.float32)
+    t = rng.normal(size=(64, 3)).astype(np.float32)
+    d, _ = voxel.knn(
+        jnp.array(q), jnp.zeros(8, bool), jnp.array(t), jnp.ones(64, bool),
+        k=3, tile=64,
+    )
+    assert np.all(np.asarray(d) >= 1e29)  # masked queries get no neighbors
+
+
+def test_compact(rng):
+    mask = np.array([False, True, False, True, True, False])
+    vals = np.arange(6, dtype=np.float32)[:, None]
+    m, v = voxel.compact(jnp.array(mask), 4, jnp.array(vals))
+    assert np.asarray(m).tolist() == [True, True, True, False]
+    assert np.asarray(v)[:3, 0].tolist() == [1.0, 3.0, 4.0]
