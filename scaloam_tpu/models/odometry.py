@@ -1,0 +1,142 @@
+"""Scan-to-scan odometry — the laserOdometry stage as one jitted step.
+
+Reference: src/laserOdometry.cpp (601 LoC). Per frame:
+  - 2 outer data-association passes (:278), each building a problem from
+    edge correspondences (1-NN corner + companion on a nearby ring,
+    gate dist^2 < 25, :299-384) and plane correspondences (1-NN surf +
+    same-ring + nearby-ring companions, :387-483),
+  - solved by Ceres DENSE_QR with Huber(0.1), <=4 iterations (:284-291,
+    :493-499) on the frame-to-frame pose (q_last_curr, t_last_curr),
+  - warm-started from the previous frame's solution (para_q/para_t are
+    process-global), i.e. a constant-motion prior,
+  - world pose integration t_w += q_w * t_rel; q_w *= q_rel (:504-505),
+  - "last" clouds swap to the current less-sharp / less-flat (:554-568).
+
+TPU design: KD-trees -> tiled brute-force NN (ops.voxel.knn) + a
+ring-constrained second pass (ops.correspond); Ceres -> analytic-Jacobian
+GN (ops.gn); the whole step is a single jit with fixed shapes.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from scaloam_tpu.config import SlamConfig
+from scaloam_tpu.ops import correspond, gn, residuals, se3, voxel
+from scaloam_tpu.types import FeatureCloud, Pose, ScanFeatures
+
+
+class OdometryState(NamedTuple):
+    last_corner: FeatureCloud  # previous less-sharp
+    last_surf: FeatureCloud  # previous less-flat
+    rel: Pose  # frame-to-frame estimate (warm start)
+    world: Pose  # accumulated odometry ("/laser_odom_to_init")
+    initialized: jax.Array  # bool
+    frame_idx: jax.Array  # int32
+
+
+class OdometryOutput(NamedTuple):
+    world: Pose
+    rel: Pose
+    n_corner_corr: jax.Array
+    n_surf_corr: jax.Array
+
+
+def init_state(cfg: SlamConfig) -> OdometryState:
+    feat = cfg.features
+    return OdometryState(
+        last_corner=FeatureCloud.empty(feat.max_less_sharp),
+        last_surf=FeatureCloud.empty(feat.max_less_flat),
+        rel=Pose.identity(),
+        world=Pose.identity(),
+        initialized=jnp.array(False),
+        frame_idx=jnp.array(0, jnp.int32),
+    )
+
+
+def _associate(rel: Pose, feats: ScanFeatures, state: OdometryState, cfg: SlamConfig):
+    """One data-association pass at the current rel estimate. Returns the
+    fixed correspondence data for the GN inner loop."""
+    ocfg = cfg.odometry
+    thr = ocfg.distance_sq_threshold
+
+    # --- corners (:299-384)
+    sharp = feats.sharp
+    q_pts = residuals.transform_points(rel, sharp.xyz)  # TransformToStart
+    tc = state.last_corner
+    dj, ij = voxel.nn1(q_pts, sharp.mask, tc.xyz, tc.mask)
+    ring_j = tc.ring[ij]
+    _, _, do, io = correspond.ring_constrained_nn(
+        q_pts, sharp.mask, ring_j, ij, tc.xyz, tc.mask, tc.ring, ocfg.nearby_scan
+    )
+    corner_valid = sharp.mask & (dj < thr) & (do < thr)
+    corner_data = (sharp.xyz, tc.xyz[ij], tc.xyz[io], corner_valid)
+
+    # --- surfs (:387-483)
+    flat = feats.flat
+    qs_pts = residuals.transform_points(rel, flat.xyz)
+    ts = state.last_surf
+    sdj, sij = voxel.nn1(qs_pts, flat.mask, ts.xyz, ts.mask)
+    s_ring_j = ts.ring[sij]
+    ds, is_, do2, io2 = correspond.ring_constrained_nn(
+        qs_pts, flat.mask, s_ring_j, sij, ts.xyz, ts.mask, ts.ring, ocfg.nearby_scan
+    )
+    surf_valid = flat.mask & (sdj < thr) & (ds < thr) & (do2 < thr)
+    surf_data = (flat.xyz, ts.xyz[sij], ts.xyz[is_], ts.xyz[io2], surf_valid)
+    return corner_data, surf_data
+
+
+def _solve(rel: Pose, corner_data, surf_data, cfg: SlamConfig) -> Pose:
+    p_c, a, b, v_c = corner_data
+    p_s, j, l, m, v_s = surf_data
+
+    def build(pose):
+        return [
+            residuals.edge_factors(pose, p_c, a, b, v_c),
+            residuals.plane3_factors(pose, p_s, j, l, m, v_s),
+        ]
+
+    return gn.gauss_newton(
+        rel, build, cfg.odometry.gn_iterations, cfg.odometry.huber_delta
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def odometry_step(
+    state: OdometryState, feats: ScanFeatures, cfg: SlamConfig
+):
+    """Process one feature frame; returns (new_state, OdometryOutput)."""
+
+    def solve_branch(rel):
+        n_c = jnp.zeros((), jnp.int32)
+        n_s = jnp.zeros((), jnp.int32)
+        for _ in range(cfg.odometry.outer_iterations):
+            corner_data, surf_data = _associate(rel, feats, state, cfg)
+            rel = _solve(rel, corner_data, surf_data, cfg)
+            n_c = jnp.sum(corner_data[-1].astype(jnp.int32))
+            n_s = jnp.sum(surf_data[-1].astype(jnp.int32))
+        return rel, n_c, n_s
+
+    def skip_branch(rel):
+        return Pose.identity(), jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32)
+
+    rel, n_c, n_s = jax.lax.cond(
+        state.initialized, solve_branch, skip_branch, state.rel
+    )
+
+    world = se3.compose(state.world, rel)  # :504-505
+    new_state = OdometryState(
+        last_corner=feats.less_sharp,
+        last_surf=feats.less_flat,
+        rel=rel,
+        world=world,
+        initialized=jnp.array(True),
+        frame_idx=state.frame_idx + 1,
+    )
+    return new_state, OdometryOutput(
+        world=world, rel=rel, n_corner_corr=n_c, n_surf_corr=n_s
+    )

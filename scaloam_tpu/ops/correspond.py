@@ -1,0 +1,79 @@
+"""Ring-constrained correspondence search for scan-to-scan odometry.
+
+Reference (src/laserOdometry.cpp:299-483): after a KD-tree 1-NN, the C++
+walks the ring-sorted cloud up/down to find companion points on nearby scan
+lines. TPU version: a second tiled brute-force pass with ring masks —
+for each query (with its 1-NN's ring known) find
+  - the nearest target on the SAME ring (excluding the 1-NN itself), and
+  - the nearest target on a DIFFERENT ring within +-`nearby` rings.
+Both passes are MXU matmuls over target tiles with running minima; exact,
+unlike the reference's index-window walk which can miss wrapped neighbors.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+_BIG = jnp.float32(1e30)
+
+
+@functools.partial(jax.jit, static_argnames=("tile",))
+def ring_constrained_nn(
+    query: jax.Array,  # [Q, 3]
+    query_mask: jax.Array,  # [Q]
+    ring_ref: jax.Array,  # [Q] ring of the 1-NN (float)
+    exclude_idx: jax.Array,  # [Q] index of the 1-NN (excluded from same-ring)
+    target: jax.Array,  # [T, 3]
+    target_mask: jax.Array,  # [T]
+    target_ring: jax.Array,  # [T] float
+    nearby: float,
+    tile: int = 2048,
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Returns (d_same [Q], i_same [Q], d_other [Q], i_other [Q]) — squared
+    distances (1e30 when none) and indices."""
+    assert target.shape[0] % tile == 0
+    n_tiles = target.shape[0] // tile
+    q2 = jnp.sum(query * query, axis=-1, keepdims=True)
+    qn = query.shape[0]
+
+    def body(carry, i):
+        ds, is_, do, io = carry
+        tgt = jax.lax.dynamic_slice_in_dim(target, i * tile, tile, axis=0)
+        tm = jax.lax.dynamic_slice_in_dim(target_mask, i * tile, tile, axis=0)
+        tr = jax.lax.dynamic_slice_in_dim(target_ring, i * tile, tile, axis=0)
+        t2 = jnp.sum(tgt * tgt, axis=-1)[None, :]
+        cross = jnp.dot(query, tgt.T, preferred_element_type=jnp.float32)
+        d = q2 + t2 - 2.0 * cross  # [Q, tile]
+        gidx = i * tile + jnp.arange(tile)[None, :]
+
+        dr = tr[None, :] - ring_ref[:, None]
+        same = (jnp.abs(dr) < 0.5) & (gidx != exclude_idx[:, None])
+        other = (jnp.abs(dr) >= 0.5) & (jnp.abs(dr) <= nearby)
+        base = tm[None, :]
+
+        d_s = jnp.where(base & same, d, _BIG)
+        d_o = jnp.where(base & other, d, _BIG)
+        js = jnp.argmin(d_s, axis=1)
+        jo = jnp.argmin(d_o, axis=1)
+        vs = jnp.take_along_axis(d_s, js[:, None], 1)[:, 0]
+        vo = jnp.take_along_axis(d_o, jo[:, None], 1)[:, 0]
+        upd_s = vs < ds
+        upd_o = vo < do
+        ds = jnp.where(upd_s, vs, ds)
+        is_ = jnp.where(upd_s, i * tile + js, is_)
+        do = jnp.where(upd_o, vo, do)
+        io = jnp.where(upd_o, i * tile + jo, io)
+        return (ds, is_, do, io), None
+
+    init = (
+        jnp.full((qn,), _BIG), jnp.zeros((qn,), jnp.int32),
+        jnp.full((qn,), _BIG), jnp.zeros((qn,), jnp.int32),
+    )
+    (ds, is_, do, io), _ = jax.lax.scan(body, init, jnp.arange(n_tiles))
+    ds = jnp.where(query_mask, jnp.maximum(ds, 0.0), _BIG)
+    do = jnp.where(query_mask, jnp.maximum(do, 0.0), _BIG)
+    return ds, is_, do, io

@@ -1,0 +1,128 @@
+"""Lidar residuals with analytic Jacobians — the Ceres autodiff replacement.
+
+Reference: src/lidarFactor.hpp defines four autodiff cost functors
+(LidarEdgeFactor :12-55, LidarPlaneFactor :57-104, LidarPlaneNormFactor
+:106-138, LidarDistanceFactor :141-172), each differentiated by Ceres at
+runtime. Here each residual is a pure jnp function with a hand-derived
+Jacobian w.r.t. a right-multiplicative se(3) perturbation, batched over all
+correspondences at once, so a whole Gauss-Newton normal-equation build is
+a couple of einsums (SURVEY.md §7 "Replace Ceres autodiff").
+
+Convention: pose (q, t) maps a point p into the target frame as
+p' = R(q) p + t. The 6-dof perturbation delta = (dtheta, dt) acts as
+q <- q * Exp(dtheta), t <- t + dt, giving
+    d p' / d dtheta = -R [p]x        d p' / d dt = I.
+
+Each builder returns a FactorSet: r [n, R] residuals, J [n, R, 6] Jacobians,
+valid [n] gate (0 weight for padding / failed correspondences).
+
+With the reference's DISTORTION=0 the slerp factor s == 1
+(src/laserOdometry.cpp:59,84), so the interpolated pose is the full pose.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from scaloam_tpu.ops import se3
+from scaloam_tpu.types import Pose
+
+_EPS = 1e-9
+
+
+class FactorSet(NamedTuple):
+    r: jax.Array  # [n, R]
+    J: jax.Array  # [n, R, 6]
+    valid: jax.Array  # [n] bool
+
+
+def _point_jacobian(q: jax.Array, p: jax.Array):
+    """R p and d(Rp)/d(dtheta) = -R [p]x for each point."""
+    Rp = se3.quat_rotate(q, p)
+    R = se3.quat_to_mat(q)
+    J_theta = -jnp.matmul(R, se3.hat(p), precision=jax.lax.Precision.HIGHEST)
+    return Rp, J_theta
+
+
+def transform_points(pose: Pose, pts: jax.Array, s=None) -> jax.Array:
+    """TransformToStart (src/laserOdometry.cpp:111-129): de-skew by the
+    slerp-interpolated pose; s=None (DISTORTION off) applies the full pose."""
+    if s is None:
+        return se3.apply(pose, pts)
+    q = jnp.broadcast_to(pose.quat, pts.shape[:-1] + (4,))
+    ident = jnp.broadcast_to(jnp.array([1.0, 0, 0, 0], pose.quat.dtype), q.shape)
+    q_s = se3.quat_slerp(ident, q, s[..., None])
+    return se3.quat_rotate(q_s, pts) + s[..., None] * pose.trans
+
+
+def edge_factors(
+    pose: Pose, p: jax.Array, a: jax.Array, b: jax.Array, valid: jax.Array
+) -> FactorSet:
+    """Point-to-line: r = (p' - a) x (p' - b) / |a - b| (3-dim).
+
+    LidarEdgeFactor (src/lidarFactor.hpp:12-55). Using
+    (p'-a) x (p'-b) = p' x (a-b) + a x b, dr/dp' = -[a-b]x / |a-b|."""
+    n = p.shape[0]
+    Rp, J_theta = _point_jacobian(jnp.broadcast_to(pose.quat, (n, 4)), p)
+    pw = Rp + pose.trans
+    d = a - b
+    dn = jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), _EPS)
+    r = jnp.cross(pw - a, pw - b) / dn
+    dr_dpw = -se3.hat(d) / dn[..., None]
+    J_rot = jnp.matmul(dr_dpw, J_theta, precision=jax.lax.Precision.HIGHEST)
+    J = jnp.concatenate([J_rot, dr_dpw], axis=-1)
+    return FactorSet(r=r, J=J, valid=valid)
+
+
+def plane3_factors(
+    pose: Pose, p: jax.Array, j: jax.Array, l: jax.Array, m: jax.Array,
+    valid: jax.Array,
+) -> FactorSet:
+    """Point-to-plane via 3 points: r = (p' - j) . normalize((j-l)x(j-m)).
+
+    LidarPlaneFactor (src/lidarFactor.hpp:57-104)."""
+    n = p.shape[0]
+    Rp, J_theta = _point_jacobian(jnp.broadcast_to(pose.quat, (n, 4)), p)
+    pw = Rp + pose.trans
+    nrm = jnp.cross(j - l, j - m)
+    nrm = nrm / jnp.maximum(jnp.linalg.norm(nrm, axis=-1, keepdims=True), _EPS)
+    r = jnp.sum((pw - j) * nrm, axis=-1, keepdims=True)
+    J_rot = jnp.einsum("ni,nij->nj", nrm, J_theta)
+    J = jnp.concatenate([J_rot, nrm], axis=-1)[:, None, :]
+    return FactorSet(r=r, J=J, valid=valid)
+
+
+def plane_norm_factors(
+    pose: Pose, p: jax.Array, unit_norm: jax.Array, neg_oa_dot: jax.Array,
+    valid: jax.Array,
+) -> FactorSet:
+    """Point-to-plane via (n, d): r = n . p' + d.
+
+    LidarPlaneNormFactor (src/lidarFactor.hpp:106-138); the scan-to-map
+    surf factor (src/laserMapping.cpp:684-686)."""
+    n = p.shape[0]
+    Rp, J_theta = _point_jacobian(jnp.broadcast_to(pose.quat, (n, 4)), p)
+    pw = Rp + pose.trans
+    r = (jnp.sum(unit_norm * pw, axis=-1) + neg_oa_dot)[:, None]
+    J_rot = jnp.einsum("ni,nij->nj", unit_norm, J_theta)
+    J = jnp.concatenate([J_rot, unit_norm], axis=-1)[:, None, :]
+    return FactorSet(r=r, J=J, valid=valid)
+
+
+def distance_factors(
+    pose: Pose, p: jax.Array, closed: jax.Array, valid: jax.Array
+) -> FactorSet:
+    """Point-to-point: r = p' - c (3-dim).
+
+    LidarDistanceFactor (src/lidarFactor.hpp:141-172); also the loop-ICP
+    residual (pcl ICP is point-to-point, laserPosegraphOptimization.cpp:517)."""
+    n = p.shape[0]
+    Rp, J_theta = _point_jacobian(jnp.broadcast_to(pose.quat, (n, 4)), p)
+    pw = Rp + pose.trans
+    r = pw - closed
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=p.dtype), (n, 3, 3))
+    J = jnp.concatenate([J_theta, eye], axis=-1)
+    return FactorSet(r=r, J=J, valid=valid)

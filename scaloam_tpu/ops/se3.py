@@ -142,14 +142,20 @@ def hat(v: jax.Array) -> jax.Array:
 
 
 def exp_so3(w: jax.Array) -> jax.Array:
-    """Rotation vector [..., 3] -> unit quaternion (wxyz)."""
-    theta = jnp.linalg.norm(w, axis=-1, keepdims=True)
+    """Rotation vector [..., 3] -> unit quaternion (wxyz).
+
+    Differentiable at w=0 (double-where guards the sqrt singularity so
+    jacfwd/jacrev at the origin stay finite — needed by solvers that
+    autodiff through apply_delta)."""
+    t2 = jnp.sum(w * w, axis=-1, keepdims=True)
+    small = t2 < 1e-12
+    t2_safe = jnp.where(small, 1.0, t2)
+    theta = jnp.sqrt(t2_safe)
     half = 0.5 * theta
-    small = theta < 1e-6
-    # sin(x/2)/x -> 1/2 - x^2/48 for small x.
-    k = jnp.where(small, 0.5 - theta * theta / 48.0,
-                  jnp.sin(half) / jnp.where(small, 1.0, theta))
-    return jnp.concatenate([jnp.cos(half), k * w], axis=-1)
+    # sin(x/2)/x -> 1/2 - x^2/48; cos(x/2) -> 1 - x^2/8 for small x.
+    k = jnp.where(small, 0.5 - t2 / 48.0, jnp.sin(half) / theta)
+    cw = jnp.where(small, 1.0 - t2 / 8.0, jnp.cos(half))
+    return jnp.concatenate([cw, k * w], axis=-1)
 
 
 def log_so3(q: jax.Array) -> jax.Array:
