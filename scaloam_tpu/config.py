@@ -93,6 +93,9 @@ class MappingConfig:
     min_surf_map: int = 50
     max_corner_map: int = 65536  # device map capacities
     max_surf_map: int = 131072
+    max_corner_match: int = 32768  # pose-local matching-target capacities
+    max_surf_match: int = 49152  # (sensor-range window; multiples of 2048)
+    match_radius: float = 85.0  # sensor range + NN gate
     max_corner_input: int = 4096  # downsampled input capacities
     max_surf_input: int = 16384
 

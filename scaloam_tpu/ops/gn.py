@@ -39,13 +39,19 @@ def normal_equations(
     Jtr = jnp.zeros((6,), jnp.float32)
     cost = jnp.zeros((), jnp.float32)
     for fs in factor_sets:
-        s = jnp.sum(fs.r * fs.r, axis=-1)
+        # Sanitize invalid rows: zero weight is not enough, since degenerate
+        # correspondences (e.g. singular plane fits) can carry NaN/inf data
+        # and 0 * NaN poisons the reduction.
+        vm = fs.valid[:, None]
+        r = jnp.where(vm, fs.r, 0.0)
+        J = jnp.where(vm[..., None], fs.J, 0.0)
+        s = jnp.sum(r * r, axis=-1)
         w = fs.valid.astype(jnp.float32)
         if huber_delta is not None:
             w = w * huber_weight(s, huber_delta)
-        Jw = fs.J * w[:, None, None]
-        JtJ = JtJ + jnp.einsum("nri,nrj->ij", Jw, fs.J, precision=_HI)
-        Jtr = Jtr + jnp.einsum("nri,nr->i", Jw, fs.r, precision=_HI)
+        Jw = J * w[:, None, None]
+        JtJ = JtJ + jnp.einsum("nri,nrj->ij", Jw, J, precision=_HI)
+        Jtr = Jtr + jnp.einsum("nri,nr->i", Jw, r, precision=_HI)
         cost = cost + jnp.sum(w * s)
     return JtJ, Jtr, cost
 

@@ -86,7 +86,7 @@ def simulate_scan(
         )
     t = np.minimum(t_box, t_ground)
     hit = np.isfinite(t) & (t < max_range) & (t > 0.5)
-    t = t + rng.normal(0.0, noise, size=t.shape)
+    t = np.where(np.isfinite(t), t + rng.normal(0.0, noise, size=t.shape), np.inf)
     pts = (d_sensor * t[:, None])[hit]
     return pts.astype(np.float32)
 
