@@ -1,0 +1,344 @@
+"""Pose-graph backend: batch Gauss-Newton replacing GTSAM iSAM2.
+
+Reference: src/laserPosegraphOptimization.cpp.
+  Graph content (:646-690): prior on node 0 (sigma^2=1e-12, effectively a
+  gauge freeze), odometry BetweenFactors (variances rot 1e-6 / trans 1e-4),
+  SC-loop BetweenFactors with robust Cauchy(k=1) noise (sigma^2=0.5), and
+  altitude-only GPS factors (variances xy 1e9 / z 250, Cauchy) (:284-310).
+  iSAM2 runs at 1 Hz with relinearizeThreshold 0.01 (:791-808,881-884);
+  updatePoses then rewrites every keyframe pose (:408-431).
+
+TPU design (SURVEY.md §7): instead of incremental Bayes-tree updates, the
+WHOLE graph is re-solved each tick by damped Gauss-Newton — the 1 Hz budget
+is enormous on TPU and batch GN from the warm start converges in a few
+iterations. The normal equations are never materialized: the CG matvec
+evaluates H v = sum_f A_f^T W_f A_f v factor-wise with segment-sum
+scatter (two 6x6 blocks per factor), preconditioned by the inverted
+block diagonal. Node 0 is frozen (the reference's 1e-12-variance prior,
+f32-safely). This factor-sharded matvec is also the unit of distribution
+for multi-host PGO (parallel/pgo.py): shard factors, psum the scatter.
+
+All per-factor Jacobians are exact: jax.jacrev of the tangent residual,
+vmapped over factors.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from scaloam_tpu.config import PGOConfig
+from scaloam_tpu.ops import se3
+from scaloam_tpu.types import Pose
+
+
+class PoseGraph(NamedTuple):
+    # Nodes.
+    poses: Pose  # [N] current estimates
+    odom_poses: Pose  # [N] raw odometry poses (for odom_poses artifact)
+    n_nodes: jax.Array  # int32
+    # Odometry chain factors: factor k connects (k, k+1), k < n_nodes-1.
+    odom_rel: Pose  # [N]
+    # Loop factors.
+    loop_i: jax.Array  # [L] int32 (curr)
+    loop_j: jax.Array  # [L] int32 (loop target)
+    loop_rel: Pose  # [L] Z with X_i^-1 X_j ~= Z
+    n_loops: jax.Array  # int32
+    # GPS altitude factors.
+    gps_z: jax.Array  # [N]
+    gps_valid: jax.Array  # [N] bool
+
+
+def init_graph(cfg: PGOConfig) -> PoseGraph:
+    N, L = cfg.max_keyframes, cfg.max_loops
+    return PoseGraph(
+        poses=Pose.identity((N,)),
+        odom_poses=Pose.identity((N,)),
+        n_nodes=jnp.array(0, jnp.int32),
+        odom_rel=Pose.identity((N,)),
+        loop_i=jnp.zeros((L,), jnp.int32),
+        loop_j=jnp.zeros((L,), jnp.int32),
+        loop_rel=Pose.identity((L,)),
+        n_loops=jnp.array(0, jnp.int32),
+        gps_z=jnp.zeros((N,), jnp.float32),
+        gps_valid=jnp.zeros((N,), bool),
+    )
+
+
+@jax.jit
+def add_keyframe(
+    graph: PoseGraph, odom_pose: Pose, gps_z: jax.Array, gps_valid: jax.Array
+) -> PoseGraph:
+    """Append a node; the between factor to the previous node comes from the
+    odometry increment (:663-690). New estimate = prev_estimate o rel (warm
+    start, like gtsam initialEstimate insertion)."""
+    i = jnp.minimum(graph.n_nodes, graph.gps_z.shape[0] - 1)
+    first = graph.n_nodes == 0
+    prev = jnp.maximum(i - 1, 0)
+    prev_odom = jax.tree.map(lambda a: a[prev], graph.odom_poses)
+    rel = se3.relative(prev_odom, odom_pose)
+    prev_est = jax.tree.map(lambda a: a[prev], graph.poses)
+    est = jax.tree.map(
+        lambda a, b: jnp.where(first, a, b),
+        odom_pose, se3.compose(prev_est, rel),
+    )
+
+    def set_at(arr, idx, val):
+        return arr.at[idx].set(val)
+
+    return graph._replace(
+        poses=Pose(
+            set_at(graph.poses.quat, i, est.quat),
+            set_at(graph.poses.trans, i, est.trans),
+        ),
+        odom_poses=Pose(
+            set_at(graph.odom_poses.quat, i, odom_pose.quat),
+            set_at(graph.odom_poses.trans, i, odom_pose.trans),
+        ),
+        odom_rel=Pose(  # factor (i-1 -> i) stored at slot i-1
+            set_at(graph.odom_rel.quat, prev, rel.quat),
+            set_at(graph.odom_rel.trans, prev, rel.trans),
+        ),
+        gps_z=set_at(graph.gps_z, i, gps_z),
+        gps_valid=set_at(graph.gps_valid, i, gps_valid),
+        n_nodes=graph.n_nodes + 1,
+    )
+
+
+@jax.jit
+def add_loop(graph: PoseGraph, i: jax.Array, j: jax.Array, rel: Pose) -> PoseGraph:
+    k = jnp.minimum(graph.n_loops, graph.loop_i.shape[0] - 1)
+    return graph._replace(
+        loop_i=graph.loop_i.at[k].set(i),
+        loop_j=graph.loop_j.at[k].set(j),
+        loop_rel=Pose(
+            graph.loop_rel.quat.at[k].set(rel.quat),
+            graph.loop_rel.trans.at[k].set(rel.trans),
+        ),
+        n_loops=graph.n_loops + 1,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Residuals + Jacobians
+# ---------------------------------------------------------------------------
+
+
+def _between_residual(xi: Pose, xj: Pose, z: Pose) -> jax.Array:
+    """r = Log(Z^-1 (X_i^-1 X_j)) in (omega, v) ordering (gtsam Logmap)."""
+    return se3.log_se3(se3.compose(se3.inverse(z), se3.relative(xi, xj)))
+
+
+def _between_res_jac(xi: Pose, xj: Pose, z: Pose):
+    """Residual + exact Jacobians wrt right perturbations of X_i and X_j."""
+
+    def f(di, dj):
+        return _between_residual(
+            se3.compose(xi, se3.exp_se3(di)),
+            se3.compose(xj, se3.exp_se3(dj)),
+            z,
+        )
+
+    r = f(jnp.zeros(6), jnp.zeros(6))
+    Ji, Jj = jax.jacrev(f, argnums=(0, 1))(jnp.zeros(6), jnp.zeros(6))
+    return r, Ji, Jj
+
+
+_between_batch = jax.vmap(_between_res_jac, in_axes=(0, 0, 0))
+
+
+def _gps_res_jac(x: Pose, z: jax.Array):
+    """Altitude residual r = t_z - z with Jacobian wrt right perturbation."""
+
+    def f(d):
+        return se3.compose(x, se3.exp_se3(d)).trans[2:3] - z[None]
+
+    r = f(jnp.zeros(6))
+    J = jax.jacrev(f)(jnp.zeros(6))
+    return r, J
+
+
+_gps_batch = jax.vmap(_gps_res_jac, in_axes=(0, 0))
+
+
+def cauchy_weight(sq_whitened: jax.Array, k: float) -> jax.Array:
+    """gtsam mEstimator::Cauchy(k): w = k^2 / (k^2 + ||whitened r||^2)."""
+    k2 = k * k
+    return k2 / (k2 + sq_whitened)
+
+
+# ---------------------------------------------------------------------------
+# The solver
+# ---------------------------------------------------------------------------
+
+
+class _FactorData(NamedTuple):
+    i: jax.Array  # [F]
+    j: jax.Array  # [F]
+    r: jax.Array  # [F, 6]
+    Ji: jax.Array  # [F, 6, 6]
+    Jj: jax.Array  # [F, 6, 6]
+    W: jax.Array  # [F, 6] effective diagonal information (robust-reweighted)
+    valid: jax.Array  # [F]
+
+
+def _linearize(graph: PoseGraph, cfg: PGOConfig):
+    N = graph.gps_z.shape[0]
+    n = graph.n_nodes
+    nodes = graph.poses
+
+    def take(p: Pose, idx):
+        return Pose(p.quat[idx], p.trans[idx])
+
+    # Odometry chain.
+    ks = jnp.arange(N)
+    odom_valid = ks < n - 1
+    xi = take(nodes, ks)
+    xj = take(nodes, jnp.minimum(ks + 1, N - 1))
+    r_o, Ji_o, Jj_o = _between_batch(xi, xj, graph.odom_rel)
+    w_odom = jnp.concatenate(
+        [
+            jnp.full((3,), 1.0 / cfg.odom_rot_variance, jnp.float32),
+            jnp.full((3,), 1.0 / cfg.odom_trans_variance, jnp.float32),
+        ]
+    )
+    odom = _FactorData(
+        i=ks, j=jnp.minimum(ks + 1, N - 1), r=r_o, Ji=Ji_o, Jj=Jj_o,
+        W=jnp.broadcast_to(w_odom, (N, 6)), valid=odom_valid,
+    )
+
+    # Loops (robust Cauchy).
+    L = graph.loop_i.shape[0]
+    loop_valid = jnp.arange(L) < graph.n_loops
+    xi_l = take(nodes, graph.loop_i)
+    xj_l = take(nodes, graph.loop_j)
+    r_l, Ji_l, Jj_l = _between_batch(xi_l, xj_l, graph.loop_rel)
+    w_loop_base = 1.0 / cfg.loop_variance
+    sq_white = jnp.sum(r_l * r_l, axis=-1) * w_loop_base
+    w_rob = cauchy_weight(sq_white, cfg.cauchy_k)
+    loops = _FactorData(
+        i=graph.loop_i, j=graph.loop_j, r=r_l, Ji=Ji_l, Jj=Jj_l,
+        W=w_loop_base * w_rob[:, None] * jnp.ones((L, 6)),
+        valid=loop_valid,
+    )
+
+    # GPS altitude (1-dim, robust Cauchy) — stored padded to 6 dims.
+    r_g, J_g = _gps_batch(take(nodes, ks), graph.gps_z)
+    w_g_base = 1.0 / cfg.gps_z_variance
+    sq_g = (r_g[:, 0] ** 2) * w_g_base
+    w_g = w_g_base * cauchy_weight(sq_g, cfg.cauchy_k)
+    r_g6 = jnp.concatenate([r_g, jnp.zeros((N, 5))], axis=-1)
+    J_g6 = jnp.concatenate([J_g, jnp.zeros((N, 5, 6))], axis=-2)
+    gps = _FactorData(
+        i=ks, j=ks, r=r_g6, Ji=J_g6, Jj=jnp.zeros_like(J_g6),
+        W=jnp.concatenate([w_g[:, None], jnp.zeros((N, 5))], axis=-1),
+        valid=graph.gps_valid & (ks < n),
+    )
+    return [odom, loops, gps]
+
+
+def _sanitize(f: _FactorData) -> _FactorData:
+    vm = f.valid[:, None]
+    return f._replace(
+        r=jnp.where(vm, f.r, 0.0),
+        Ji=jnp.where(vm[..., None], f.Ji, 0.0),
+        Jj=jnp.where(vm[..., None], f.Jj, 0.0),
+        W=jnp.where(vm, f.W, 0.0),
+    )
+
+
+def _gradient_and_diag(factors, N: int):
+    """g = sum A^T W r and block-diagonal of H, per node."""
+    g = jnp.zeros((N, 6))
+    D = jnp.zeros((N, 6, 6))
+    for f in factors:
+        Wr = f.W * f.r
+        gi = jnp.einsum("frc,fr->fc", f.Ji, Wr)
+        gj = jnp.einsum("frc,fr->fc", f.Jj, Wr)
+        g = g.at[f.i].add(gi)
+        g = g.at[f.j].add(gj)
+        Di = jnp.einsum("fri,fr,frj->fij", f.Ji, f.W, f.Ji)
+        Dj = jnp.einsum("fri,fr,frj->fij", f.Jj, f.W, f.Jj)
+        D = D.at[f.i].add(Di)
+        D = D.at[f.j].add(Dj)
+    return g, D
+
+
+def _hess_matvec(factors, v: jax.Array, damping_diag: jax.Array) -> jax.Array:
+    """H v without materializing H: per-factor A v -> W -> A^T scatter."""
+    out = damping_diag * v
+    for f in factors:
+        Av = jnp.einsum("frc,fc->fr", f.Ji, v[f.i]) + jnp.einsum(
+            "frc,fc->fr", f.Jj, v[f.j]
+        )
+        WAv = f.W * Av
+        out = out.at[f.i].add(jnp.einsum("frc,fr->fc", f.Ji, WAv))
+        out = out.at[f.j].add(jnp.einsum("frc,fr->fc", f.Jj, WAv))
+    return out
+
+
+def _solve_cg(factors, g, D, free_mask, damping: float, iters: int):
+    """Preconditioned CG for H d = -g on the free nodes."""
+    N = g.shape[0]
+    diag = jnp.diagonal(D, axis1=-2, axis2=-1)  # [N, 6]
+    damp = damping * jnp.maximum(diag, 1e-6) + 1e-8
+    eye = jnp.eye(6, dtype=D.dtype)[None]
+    Minv = jnp.linalg.inv(D + damp[:, :, None] * eye + 1e-6 * eye)
+
+    fm = free_mask[:, None]
+
+    def mv(v):
+        v = jnp.where(fm, v, 0.0)
+        return jnp.where(fm, _hess_matvec(factors, v, damp), 0.0)
+
+    def precond(v):
+        return jnp.where(fm, jnp.einsum("nij,nj->ni", Minv, v), 0.0)
+
+    b = jnp.where(fm, -g, 0.0)
+    x = jnp.zeros_like(b)
+    r = b
+    z = precond(r)
+    p = z
+    rz = jnp.sum(r * z)
+
+    def body(_, carry):
+        x, r, z, p, rz = carry
+        Ap = mv(p)
+        denom = jnp.maximum(jnp.sum(p * Ap), 1e-20)
+        alpha = rz / denom
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = precond(r)
+        rz_new = jnp.sum(r * z)
+        beta = rz_new / jnp.maximum(rz, 1e-20)
+        p = z + beta * p
+        return x, r, z, p, rz_new
+
+    x, *_ = jax.lax.fori_loop(0, iters, body, (x, r, z, p, rz))
+    return x
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "cg_iters"))
+def optimize(graph: PoseGraph, cfg: PGOConfig, cg_iters: int = 64) -> PoseGraph:
+    """runISAM2opt equivalent: batch damped GN over the whole graph, warm
+    started from current estimates; node 0 frozen (the 1e-12 prior)."""
+    N = graph.gps_z.shape[0]
+    ks = jnp.arange(N)
+    free = (ks > 0) & (ks < graph.n_nodes)
+
+    def gn_iter(_, g_):
+        factors = [_sanitize(f) for f in _linearize(g_, cfg)]
+        grad, D = _gradient_and_diag(factors, N)
+        delta = _solve_cg(factors, grad, D, free, cfg.lm_damping, cg_iters)
+        dpose = se3.exp_se3(delta)
+        new_poses = se3.compose(g_.poses, dpose)
+        new_poses = jax.tree.map(
+            lambda new, old: jnp.where(free[:, None], new, old),
+            new_poses, g_.poses,
+        )
+        return g_._replace(poses=new_poses)
+
+    return jax.lax.fori_loop(0, cfg.gn_iterations, gn_iter, graph)

@@ -1,0 +1,111 @@
+"""SCManager equivalent: a fixed-capacity ScanContext database.
+
+Reference: include/scancontext/Scancontext.h:55-123 — SCManager stores
+polarcontexts_, ring keys and sector keys in growing vectors and answers
+detectLoopClosureID / detectLoopClosureIDBetweenSession queries. Here the
+database is a pair of preallocated device arrays (descriptors + ring keys)
+with a count; append is a functional dynamic-update, retrieval is
+ops.scancontext.detect_loop. Multi-session localization
+(saveScancontextAndKeys + detectLoopClosureIDBetweenSession,
+Scancontext.cpp:236-246,272-333) maps to `append_descriptor` on a fresh DB +
+`detect` with exclude_recent=False.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from scaloam_tpu.config import ScanContextConfig
+from scaloam_tpu.ops import scancontext as sc_ops
+
+
+class SCDatabase(NamedTuple):
+    descriptors: jax.Array  # [K, R, S]
+    ring_keys: jax.Array  # [K, R]
+    count: jax.Array  # int32
+
+
+def init_db(cfg: ScanContextConfig) -> SCDatabase:
+    return SCDatabase(
+        descriptors=jnp.zeros(
+            (cfg.max_keyframes, cfg.num_ring, cfg.num_sector), jnp.float32
+        ),
+        ring_keys=jnp.zeros((cfg.max_keyframes, cfg.num_ring), jnp.float32),
+        count=jnp.array(0, jnp.int32),
+    )
+
+
+@jax.jit
+def append_descriptor(db: SCDatabase, sc: jax.Array) -> SCDatabase:
+    """saveScancontextAndKeys (:236-246). Silently drops past capacity."""
+    i = jnp.minimum(db.count, db.descriptors.shape[0] - 1)
+    return SCDatabase(
+        descriptors=db.descriptors.at[i].set(sc),
+        ring_keys=db.ring_keys.at[i].set(sc_ops.ring_key(sc)),
+        count=db.count + 1,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def make_and_append(
+    db: SCDatabase, xyz: jax.Array, mask: jax.Array, cfg: ScanContextConfig
+) -> Tuple[SCDatabase, jax.Array]:
+    """makeAndSaveScancontextAndKeys (:249-260)."""
+    sc = sc_ops.make_descriptor(
+        xyz, mask,
+        num_ring=cfg.num_ring, num_sector=cfg.num_sector,
+        max_radius=cfg.max_radius, lidar_height=cfg.lidar_height,
+    )
+    return append_descriptor(db, sc), sc
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "exclude_recent"))
+def detect(
+    db: SCDatabase,
+    query_sc: jax.Array,
+    cfg: ScanContextConfig,
+    exclude_recent: bool = True,
+):
+    """detectLoopClosureID (:336-427) against the stored DB; the query is
+    usually the latest stored descriptor. Returns (loop_idx, yaw, dist)."""
+    return sc_ops.detect_loop(
+        query_sc,
+        sc_ops.ring_key(query_sc),
+        db.descriptors,
+        db.ring_keys,
+        db.count,
+        cfg,
+        exclude_recent=exclude_recent,
+    )
+
+
+class SCManager:
+    """Thin stateful convenience wrapper mirroring the reference API."""
+
+    def __init__(self, cfg: ScanContextConfig):
+        self.cfg = cfg
+        self.db = init_db(cfg)
+
+    def make_and_save(self, xyz, mask) -> jax.Array:
+        self.db, sc = make_and_append(self.db, xyz, mask, self.cfg)
+        return sc
+
+    def save_descriptor(self, sc: jax.Array) -> None:
+        self.db = append_descriptor(self.db, sc)
+
+    def detect_loop_closure_id(self) -> Tuple[int, float, float]:
+        n = int(self.db.count)
+        if n < self.cfg.num_exclude_recent + 1:
+            return -1, 0.0, float("inf")
+        query = self.db.descriptors[n - 1]
+        idx, yaw, dist = detect(self.db, query, self.cfg)
+        return int(idx), float(yaw), float(dist)
+
+    def detect_between_session(self, query_sc) -> Tuple[int, float, float]:
+        idx, yaw, dist = detect(self.db, query_sc, self.cfg, exclude_recent=False)
+        return int(idx), float(yaw), float(dist)

@@ -1,0 +1,86 @@
+"""Batched point-to-point ICP for loop verification.
+
+Reference: pcl::IterativeClosestPoint in doICPVirtualRelative
+(src/laserPosegraphOptimization.cpp:497-548): max correspondence 150 m,
+up to 100 iterations, accept if getFitnessScore() (mean squared NN
+distance) < 0.3.
+
+TPU design: NN via ops.voxel.knn (tiled MXU brute force), alignment by the
+closed-form weighted Kabsch/Umeyama solve per iteration (3x3 SVD on
+device), fixed iteration count under lax.fori_loop.
+
+Frame convention (deliberate deviation, documented): the reference
+transforms BOTH the current scan and the +-25-keyframe submap by the loop
+keyframe's pose (loopFindNearKeyframesCloud with root_idx=loop,
+:473-494), which conjugates the measured relative pose by that pose. Here
+the alignment runs in the loop keyframe's LOCAL frame — the caller passes
+the source scan in its own local frame and a submap expressed relative to
+the loop keyframe — so the ICP result C directly satisfies
+  C ~= T_loop^-1 T_curr,   and the loop factor is Z = C^-1
+exactly as BetweenFactor(curr, loop, Z) expects. Same quantity the
+reference intends, without the frame inconsistency.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from scaloam_tpu.ops import se3, voxel
+from scaloam_tpu.types import Pose
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+class ICPResult(NamedTuple):
+    transform: Pose  # aligns source onto target
+    fitness: jax.Array  # mean squared NN distance (PCL getFitnessScore)
+    converged: jax.Array  # enough correspondences at the end
+
+
+@functools.partial(jax.jit, static_argnames=("iterations",))
+def icp_point2point(
+    source: jax.Array,  # [S, 3]
+    source_mask: jax.Array,
+    target: jax.Array,  # [T, 3] (multiple of 2048)
+    target_mask: jax.Array,
+    init: Pose,
+    max_corr_dist: float = 150.0,
+    iterations: int = 20,
+) -> ICPResult:
+    max_d2 = max_corr_dist * max_corr_dist
+
+    def one_iter(_, pose):
+        src_w = se3.apply(pose, source)
+        d2, idx = voxel.nn1(src_w, source_mask, target, target_mask)
+        ok = source_mask & (d2 < max_d2)
+        w = ok.astype(jnp.float32)
+        wsum = jnp.maximum(jnp.sum(w), 1.0)
+        tgt_pts = target[idx]
+
+        # Weighted Kabsch: rotate source (original frame) onto targets.
+        mu_s = jnp.sum(source * w[:, None], axis=0) / wsum
+        mu_t = jnp.sum(tgt_pts * w[:, None], axis=0) / wsum
+        P = (source - mu_s) * w[:, None]
+        Q = tgt_pts - mu_t
+        H = jnp.matmul(P.T, Q, precision=_HI)  # [3, 3]
+        U, _, Vt = jnp.linalg.svd(H)
+        d = jnp.sign(jnp.linalg.det(jnp.matmul(Vt.T, U.T, precision=_HI)))
+        D = jnp.diag(jnp.array([1.0, 1.0, 1.0])).at[2, 2].set(d)
+        R = Vt.T @ D @ U.T
+        t = mu_t - R @ mu_s
+        return Pose(se3.mat_to_quat(R), t)
+
+    pose = jax.lax.fori_loop(0, iterations, one_iter, init)
+
+    # Fitness: mean squared NN distance of aligned source (getFitnessScore).
+    src_w = se3.apply(pose, source)
+    d2, _ = voxel.nn1(src_w, source_mask, target, target_mask)
+    ok = source_mask & (d2 < max_d2)
+    n_ok = jnp.sum(ok.astype(jnp.float32))
+    fitness = jnp.sum(jnp.where(ok, d2, 0.0)) / jnp.maximum(n_ok, 1.0)
+    converged = n_ok > 10
+    return ICPResult(transform=pose, fitness=fitness, converged=converged)

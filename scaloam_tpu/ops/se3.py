@@ -159,44 +159,47 @@ def exp_so3(w: jax.Array) -> jax.Array:
 
 
 def log_so3(q: jax.Array) -> jax.Array:
-    """Unit quaternion -> rotation vector [..., 3]."""
+    """Unit quaternion -> rotation vector [..., 3]. Differentiable at the
+    identity (double-where guards the sqrt/0 singularity)."""
     q = q * jnp.where(q[..., :1] < 0, -1.0, 1.0)  # w >= 0 branch
     w = jnp.clip(q[..., :1], -1.0, 1.0)
     v = q[..., 1:]
-    vn = jnp.linalg.norm(v, axis=-1, keepdims=True)
+    vn2 = jnp.sum(v * v, axis=-1, keepdims=True)
+    small = vn2 < 1e-12
+    vn = jnp.sqrt(jnp.where(small, 1.0, vn2))
     theta = 2.0 * jnp.arctan2(vn, w)
-    small = vn < 1e-6
-    k = jnp.where(small, 2.0 / jnp.maximum(w, _EPS),
-                  theta / jnp.where(small, 1.0, vn))
+    k = jnp.where(small, 2.0 / jnp.maximum(w, _EPS), theta / vn)
     return k * v
 
 
 def _so3_left_jacobian(w: jax.Array) -> jax.Array:
-    """Left Jacobian J_l of SO(3) at rotation vector w [..., 3] -> [..., 3, 3]."""
-    theta = jnp.linalg.norm(w, axis=-1)[..., None, None]
+    """Left Jacobian J_l of SO(3) at rotation vector w [..., 3] -> [..., 3, 3].
+    Differentiable at w=0 (double-where)."""
+    t2_raw = jnp.sum(w * w, axis=-1)[..., None, None]
+    small = t2_raw < 1e-10
+    t2 = jnp.where(small, 1.0, t2_raw)
+    theta = jnp.sqrt(t2)
     W = hat(w)
     W2 = _mm(W, W)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), W.shape)
-    small = theta < 1e-5
-    t2 = theta * theta
-    a = jnp.where(small, 0.5 - t2 / 24.0,
-                  (1.0 - jnp.cos(theta)) / jnp.where(small, 1.0, t2))
-    b = jnp.where(small, 1.0 / 6.0 - t2 / 120.0,
-                  (theta - jnp.sin(theta)) / jnp.where(small, 1.0, t2 * theta))
+    a = jnp.where(small, 0.5 - t2_raw / 24.0, (1.0 - jnp.cos(theta)) / t2)
+    b = jnp.where(small, 1.0 / 6.0 - t2_raw / 120.0,
+                  (theta - jnp.sin(theta)) / (t2 * theta))
     return eye + a * W + b * W2
 
 
 def _so3_left_jacobian_inv(w: jax.Array) -> jax.Array:
-    theta = jnp.linalg.norm(w, axis=-1)[..., None, None]
+    t2_raw = jnp.sum(w * w, axis=-1)[..., None, None]
+    small = t2_raw < 1e-10
+    t2 = jnp.where(small, 1.0, t2_raw)
+    theta = jnp.sqrt(t2)
     W = hat(w)
     W2 = _mm(W, W)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), W.shape)
-    small = theta < 1e-5
-    t2 = theta * theta
     half = 0.5 * theta
-    cot = jnp.where(small, 1.0 / 12.0 + t2 / 720.0,
+    cot = jnp.where(small, 1.0 / 12.0 + t2_raw / 720.0,
                     (1.0 - half * jnp.cos(half) / jnp.maximum(jnp.sin(half), _EPS))
-                    / jnp.where(small, 1.0, t2))
+                    / t2)
     return eye - 0.5 * W + cot * W2
 
 
