@@ -125,6 +125,9 @@ class LoopClosureConfig:
     submap_half_keyframes: int = 25  # +-25 KF target submap (:500-504)
     icp_max_iterations: int = 20  # pcl default-style budget (ref caps at 100, converges earlier)
     icp_max_corr_dist: float = 150.0  # setMaxCorrespondenceDistance (:519)
+    icp_crop_radius: float = 40.0  # crop source+submap to this radius around
+    # the loop-local origin so the fixed-capacity submap fully covers the
+    # source extent (the reference's uncapped PCL clouds don't need this)
     fitness_threshold: float = 0.3  # accept loop if fitness score < 0.3 (:531)
     max_submap_points: int = 65536
     max_source_points: int = 8192

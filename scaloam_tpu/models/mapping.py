@@ -127,7 +127,8 @@ def _merge_into_map(cloud: MapCloud, new_xyz: jax.Array, new_mask: jax.Array,
     keep = cloud.mask & jnp.all(dxy <= keep_xy, axis=-1) & (dz <= keep_z)
     allx = jnp.concatenate([cloud.xyz, new_xyz], axis=0)
     allm = jnp.concatenate([keep, new_mask], axis=0)
-    x, m, _ = voxel.voxel_downsample(allx, allm, res, cap)
+    # Retain nearest-to-pose voxels first if capacity overflows.
+    x, m, _ = voxel.voxel_downsample(allx, allm, res, cap, priority_center=center)
     return MapCloud(xyz=x, mask=m)
 
 

@@ -1,0 +1,290 @@
+"""The full SLAM system: feature extraction -> odometry -> mapping ->
+keyframes -> ScanContext loops -> ICP verification -> pose-graph GN.
+
+This is the synchronous (deterministic) driver mirroring the reference's
+4-node ROS graph (launch/aloam_mulran.launch:30-33) and the PGO node's six
+threads (src/laserPosegraphOptimization.cpp:910-916). The asynchronous,
+pipelined runtime with bounded drop-oldest queues lives in
+scaloam_tpu/runtime/; this driver runs every stage in order per scan, which
+is the right shape for evaluation/ATE and for TPU throughput measurement.
+
+Stage wiring (reference):
+  - mapping consumes odometry's republished less-sharp/less-flat clouds
+    (src/laserOdometry.cpp:570-591) and produces /aft_mapped_to_init;
+  - the PGO node consumes mapping's pose + the full-resolution LOCAL cloud
+    (/velodyne_cloud_registered_local, src/laserMapping.cpp:839-843),
+  - keyframes are gated by accumulated 2 m / 10 deg motion (:598-617),
+    keyframe clouds are 0.4 m-downsampled local clouds (:629-639),
+  - ScanContext is computed on that downsampled cloud (:639),
+  - loop candidates are ICP-verified against a +-25-keyframe submap and
+    accepted below 0.3 fitness (:497-548),
+  - the graph is re-optimized and all poses rewritten (:791-808,408-431).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from scaloam_tpu.config import SlamConfig
+from scaloam_tpu.models import mapping as mapping_mod
+from scaloam_tpu.models import odometry as odometry_mod
+from scaloam_tpu.models import posegraph as pg
+from scaloam_tpu.models import scancontext as scm
+from scaloam_tpu.ops import features, icp, se3, voxel
+from scaloam_tpu.types import LidarScan, Pose
+
+
+class FrameResult(NamedTuple):
+    frame_idx: int
+    odom_pose: Pose  # /laser_odom_to_init
+    mapped_pose: Pose  # /aft_mapped_to_init
+    is_keyframe: bool
+    loop_found: Optional[tuple]  # (curr_kf, loop_kf) if a loop was added
+
+
+class Keyframe(NamedTuple):
+    cloud: np.ndarray  # [P, 3] local frame, 0.4 m downsampled
+    time: float
+
+
+def _np_pose(p: Pose) -> Pose:
+    return Pose(np.asarray(p.quat), np.asarray(p.trans))
+
+
+class SlamSystem:
+    """Stateful host orchestrator over jitted device stages."""
+
+    def __init__(self, cfg: SlamConfig):
+        self.cfg = cfg
+        self.o_state = odometry_mod.init_state(cfg)
+        self.m_state = mapping_mod.init_state(cfg)
+        self.graph = pg.init_graph(cfg.pgo)
+        self.sc = scm.SCManager(cfg.scancontext)
+        self.keyframes: List[Keyframe] = []
+        self.kf_times: List[float] = []
+        self.frame_idx = 0
+        self._trans_accum = 0.0
+        self._rot_accum = 0.0
+        self._last_kf_pose: Optional[Pose] = None
+        self._last_pose: Optional[Pose] = None
+        self._pending_gps: List[tuple] = []  # (time, z)
+        self.loops_found: List[tuple] = []
+        self._icp_pad = 2048
+
+    # -- GPS ingestion (gpsHandler, :265-282) --------------------------------
+
+    def add_gps(self, time: float, altitude: float) -> None:
+        self._pending_gps.append((time, altitude))
+
+    def _match_gps(self, time: float):
+        tol = self.cfg.pgo.gps_time_tolerance
+        best = None
+        for t, z in self._pending_gps:
+            if abs(t - time) < tol and (best is None or abs(t - time) < abs(best[0] - time)):
+                best = (t, z)
+        if best is None:
+            return np.float32(0.0), False
+        return np.float32(best[1]), True
+
+    # -- main entry ----------------------------------------------------------
+
+    def process_scan(self, points: np.ndarray, time: float = 0.0) -> FrameResult:
+        cfg = self.cfg
+        scan = LidarScan.from_numpy(points, cfg.sensor.max_points)
+        feats = features.extract_features(scan, cfg)
+        self.o_state, o_out = odometry_mod.odometry_step(self.o_state, feats, cfg)
+
+        run_mapping = self.frame_idx % cfg.odometry.skip_frame == 0
+        if run_mapping:
+            self.m_state, m_out = mapping_mod.mapping_step(
+                self.m_state, o_out.world, feats.less_sharp, feats.less_flat, cfg
+            )
+            mapped_pose = m_out.pose
+        else:
+            mapped_pose = se3.compose(self.m_state.correction, o_out.world)
+
+        is_kf = self._keyframe_gate(mapped_pose)
+        loop = None
+        if is_kf:
+            self._add_keyframe(feats, mapped_pose, time)
+            loop = self._detect_and_verify_loop()
+            if (len(self.keyframes) % cfg.pgo.optimize_every_n_keyframes) == 0:
+                self.graph = pg.optimize(self.graph, cfg.pgo)
+
+        result = FrameResult(
+            frame_idx=self.frame_idx,
+            odom_pose=o_out.world,
+            mapped_pose=mapped_pose,
+            is_keyframe=is_kf,
+            loop_found=loop,
+        )
+        self.frame_idx += 1
+        return result
+
+    # -- keyframing (:598-642) ----------------------------------------------
+
+    def _keyframe_gate(self, pose: Pose) -> bool:
+        cfg = self.cfg.pgo
+        if self._last_pose is None:
+            self._last_pose = _np_pose(pose)
+            self._trans_accum = 1e9  # first frame is always a keyframe
+        else:
+            prev = self._last_pose
+            cur = _np_pose(pose)
+            dt = np.linalg.norm(np.asarray(cur.trans) - np.asarray(prev.trans))
+            rel = se3.relative(
+                Pose(jnp.asarray(prev.quat), jnp.asarray(prev.trans)),
+                Pose(jnp.asarray(cur.quat), jnp.asarray(cur.trans)),
+            )
+            r, p_, y = se3.quat_to_rpy(rel.quat)
+            self._trans_accum += float(dt)
+            self._rot_accum += abs(float(r)) + abs(float(p_)) + abs(float(y))
+            self._last_pose = cur
+        if (
+            self._trans_accum > cfg.keyframe_meter_gap
+            or self._rot_accum > np.deg2rad(cfg.keyframe_deg_gap)
+        ):
+            self._trans_accum = 0.0
+            self._rot_accum = 0.0
+            return True
+        return False
+
+    def _add_keyframe(self, feats, mapped_pose: Pose, time: float) -> None:
+        cfg = self.cfg
+        # Keyframe cloud: full-res local cloud, 0.4 m voxel (:629-631).
+        ri = feats.full
+        flat_xyz = ri.xyz.reshape(-1, 3)
+        flat_mask = ri.mask.reshape(-1)
+        kf_xyz, kf_mask, _ = voxel.voxel_downsample(
+            flat_xyz, flat_mask, cfg.pgo.keyframe_voxel_size,
+            capacity=cfg.scancontext.max_input_points,
+        )
+        kf_np = np.asarray(kf_xyz)[np.asarray(kf_mask)]
+        self.keyframes.append(Keyframe(cloud=kf_np, time=time))
+        self.kf_times.append(time)
+
+        # ScanContext on the downsampled cloud (:639).
+        self.sc.make_and_save(kf_xyz, kf_mask)
+
+        gps_z, gps_ok = self._match_gps(time)
+        self.graph = pg.add_keyframe(
+            self.graph, mapped_pose, jnp.float32(gps_z), jnp.array(bool(gps_ok))
+        )
+        if self._last_kf_pose is None:
+            self._last_kf_pose = _np_pose(mapped_pose)
+
+    # -- loop closure (:713-776) ---------------------------------------------
+
+    def _detect_and_verify_loop(self):
+        cfg = self.cfg
+        idx, yaw, dist = self.sc.detect_loop_closure_id()
+        if idx < 0:
+            return None
+        curr = len(self.keyframes) - 1
+        z = self._icp_verify(curr, idx, yaw)
+        if z is None:
+            return None
+        self.graph = pg.add_loop(self.graph, jnp.int32(curr), jnp.int32(idx), z)
+        self.loops_found.append((curr, idx))
+        return (curr, idx)
+
+    def _graph_pose(self, k: int) -> Pose:
+        return Pose(self.graph.poses.quat[k], self.graph.poses.trans[k])
+
+    def _icp_verify(self, curr: int, loop_idx: int, yaw: float) -> Optional[Pose]:
+        """doICPVirtualRelative (:497-548) in the loop keyframe's local
+        frame (see ops/icp.py docstring for the frame-convention fix).
+        The ScanContext yaw seeds the initial rotation."""
+        lcfg = self.cfg.loop
+        poses_q = np.asarray(self.graph.poses.quat)
+        poses_t = np.asarray(self.graph.poses.trans)
+        n_kf = len(self.keyframes)
+
+        T_loop = se3.pose_to_matrix(
+            Pose(jnp.asarray(poses_q[loop_idx]), jnp.asarray(poses_t[loop_idx]))
+        )
+        T_loop_inv = np.linalg.inv(np.asarray(T_loop))
+
+        # Submap: +-25 keyframes, each at its estimated pose relative to loop.
+        pieces = []
+        for k in range(
+            max(0, loop_idx - lcfg.submap_half_keyframes),
+            min(n_kf, loop_idx + lcfg.submap_half_keyframes + 1),
+        ):
+            T_k = np.asarray(
+                se3.pose_to_matrix(Pose(jnp.asarray(poses_q[k]), jnp.asarray(poses_t[k])))
+            )
+            rel = T_loop_inv @ T_k
+            cloud = self.keyframes[k].cloud
+            pieces.append(cloud @ rel[:3, :3].T + rel[:3, 3])
+        submap = np.concatenate(pieces, axis=0).astype(np.float32)
+        # Crop to the verification region so the capped voxel grid covers it.
+        submap = submap[
+            np.linalg.norm(submap[:, :2], axis=-1) < lcfg.icp_crop_radius
+        ]
+        if len(submap) < 100:
+            return None
+
+        # Downsample submap (downSizeFilterICP 0.4, :491-492) + pad. The
+        # source scan lives near the loop-local origin, so overflow voxels
+        # are dropped farthest-first.
+        sub_xyz, sub_mask, _ = voxel.voxel_downsample(
+            jnp.asarray(submap), jnp.ones(len(submap), bool),
+            self.cfg.pgo.keyframe_voxel_size,
+            capacity=lcfg.max_submap_points,
+            priority_center=jnp.zeros(3, jnp.float32),
+        )
+
+        src = self.keyframes[curr].cloud
+        src = src[np.linalg.norm(src[:, :2], axis=-1) < lcfg.icp_crop_radius]
+        if len(src) < 100:
+            return None
+        cap = lcfg.max_source_points
+        if len(src) > cap:
+            sel = np.linspace(0, len(src) - 1, cap).astype(int)
+            src = src[sel]
+        src_xyz = np.zeros((cap, 3), np.float32)
+        src_xyz[: len(src)] = src
+        src_mask = np.zeros(cap, bool)
+        src_mask[: len(src)] = True
+
+        # Initial guess: SC yaw about z (the reference uses identity; the
+        # yaw seed widens the convergence basin).
+        init = Pose(
+            se3.exp_so3(jnp.array([0.0, 0.0, -yaw], jnp.float32)),
+            jnp.zeros(3, jnp.float32),
+        )
+        res = icp.icp_point2point(
+            jnp.asarray(src_xyz), jnp.asarray(src_mask), sub_xyz, sub_mask,
+            init, max_corr_dist=lcfg.icp_max_corr_dist,
+            iterations=lcfg.icp_max_iterations,
+        )
+        if not bool(res.converged) or float(res.fitness) > lcfg.fitness_threshold:
+            return None
+        # C aligns curr-local onto loop-local: C ~= T_loop^-1 T_curr, so the
+        # between measurement X_curr^-1 X_loop = C^-1.
+        return se3.inverse(res.transform)
+
+    # -- outputs --------------------------------------------------------------
+
+    def optimized_poses(self) -> np.ndarray:
+        """[K, 4, 4] optimized keyframe poses."""
+        n = len(self.keyframes)
+        qs = np.asarray(self.graph.poses.quat)[:n]
+        ts = np.asarray(self.graph.poses.trans)[:n]
+        return np.asarray(
+            se3.pose_to_matrix(Pose(jnp.asarray(qs), jnp.asarray(ts)))
+        )
+
+    def odometry_keyframe_poses(self) -> np.ndarray:
+        n = len(self.keyframes)
+        qs = np.asarray(self.graph.odom_poses.quat)[:n]
+        ts = np.asarray(self.graph.odom_poses.trans)[:n]
+        return np.asarray(
+            se3.pose_to_matrix(Pose(jnp.asarray(qs), jnp.asarray(ts)))
+        )

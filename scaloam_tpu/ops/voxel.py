@@ -39,6 +39,7 @@ def voxel_downsample(
     capacity: int,
     extra: Optional[jax.Array] = None,
     group_key: Optional[jax.Array] = None,
+    priority_center: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, jax.Array, Optional[jax.Array]]:
     """Centroid voxel filter with fixed output capacity.
 
@@ -51,6 +52,9 @@ def voxel_downsample(
       group_key: optional [N] int32; voxels are additionally keyed by this
         (used for the reference's per-ring less-flat filtering,
         src/scanRegistration.cpp:404-419).
+      priority_center: optional [3]; when the occupied-voxel count exceeds
+        `capacity`, retain voxels nearest this point first (instead of in
+        arbitrary lexicographic order, which spatially biases the drop).
 
     Returns (xyz_out [capacity,3], mask_out [capacity], extra_out or None).
     """
@@ -65,7 +69,13 @@ def voxel_downsample(
         else jnp.zeros((n,), jnp.int32)
     )
 
-    order = jnp.lexsort((coords[:, 2], coords[:, 1], coords[:, 0], gk))
+    if priority_center is not None:
+        cc = jnp.floor(priority_center / voxel_size).astype(jnp.int32)
+        dist = jnp.max(jnp.abs(coords - cc[None, :]), axis=-1)
+        dist = jnp.where(mask, dist, sentinel)
+        order = jnp.lexsort((coords[:, 2], coords[:, 1], coords[:, 0], dist, gk))
+    else:
+        order = jnp.lexsort((coords[:, 2], coords[:, 1], coords[:, 0], gk))
     coords_s = coords[order]
     gk_s = gk[order]
     xyz_s = xyz[order]

