@@ -1,0 +1,139 @@
+"""Artifact writers/readers matching the reference's on-disk formats, plus a
+true session resume (which the reference lacks — SURVEY.md §5).
+
+Reference formats (src/laserPosegraphOptimization.cpp):
+  - KITTI pose rows: 3x4 row-major [R|t] per line
+    (saveOptimizedVerticesKITTIformat/saveOdometryVerticesKITTIformat,
+    :218-259) -> consumable by evo / kitti-devkit.
+  - g2o: "VERTEX_SE3:QUAT id x y z qx qy qz qw" and
+    "EDGE_SE3:QUAT i j x y z qx qy qz qw" (:147-177,198-216).
+  - SCD: the 20x60 ScanContext matrix, space-separated, precision 3
+    (saveSCD, :178-191), one file per keyframe.
+  - Scans/NNNNNN.pcd: per-keyframe downsampled cloud (:693-700), 6-digit
+    zero-padded names (padZeros, :141-146).
+  - times.txt: one timestamp per keyframe (:862-871).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional
+
+import numpy as np
+
+from scaloam_tpu.io import pcd as pcd_io
+
+
+def save_kitti_poses(path: str, poses: np.ndarray) -> None:
+    """poses [N, 4, 4] -> KITTI 3x4 row-major lines."""
+    with open(path, "w") as f:
+        for T in poses:
+            row = T[:3, :4].reshape(-1)
+            f.write(" ".join(repr(float(v)) for v in row) + "\n")
+
+
+def load_kitti_poses(path: str) -> np.ndarray:
+    rows = np.loadtxt(path).reshape(-1, 3, 4)
+    T = np.tile(np.eye(4), (len(rows), 1, 1))
+    T[:, :3, :4] = rows
+    return T
+
+
+def _pose_to_xyzquat(T: np.ndarray):
+    from scipy.spatial.transform import Rotation
+
+    q = Rotation.from_matrix(T[:3, :3]).as_quat()  # xyzw
+    t = T[:3, 3]
+    return t, q
+
+
+def save_g2o(
+    path: str,
+    poses: np.ndarray,  # [N, 4, 4]
+    odom_rels: np.ndarray,  # [N-1, 4, 4]
+    loop_edges: Optional[List] = None,  # [(i, j, T_rel 4x4)]
+) -> None:
+    """singlesession_posegraph.g2o (:198-216)."""
+    lines = []
+    for i, T in enumerate(poses):
+        t, q = _pose_to_xyzquat(T)
+        lines.append(
+            f"VERTEX_SE3:QUAT {i} {t[0]} {t[1]} {t[2]} {q[0]} {q[1]} {q[2]} {q[3]}"
+        )
+    for i, T in enumerate(odom_rels):
+        t, q = _pose_to_xyzquat(T)
+        lines.append(
+            f"EDGE_SE3:QUAT {i} {i + 1} {t[0]} {t[1]} {t[2]} {q[0]} {q[1]} {q[2]} {q[3]}"
+        )
+    for (i, j, T) in loop_edges or []:
+        t, q = _pose_to_xyzquat(T)
+        lines.append(
+            f"EDGE_SE3:QUAT {i} {j} {t[0]} {t[1]} {t[2]} {q[0]} {q[1]} {q[2]} {q[3]}"
+        )
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+def save_scd(path: str, sc: np.ndarray, delimiter: str = " ") -> None:
+    """SCD matrix, precision 3 (saveSCD, :178-191)."""
+    np.savetxt(path, np.asarray(sc), fmt="%.3g", delimiter=delimiter)
+
+
+def load_scd(path: str, delimiter: str = " ") -> np.ndarray:
+    return np.loadtxt(path, delimiter=delimiter)
+
+
+class SessionWriter:
+    """Continuous artifact dump mirroring the reference's save pipeline
+    (Scans/, SCDs/, times.txt, optimized/odom poses, g2o). Unlike the
+    reference (which `rm -r`s and hardcodes the directory, :854-871), the
+    directory is explicit and appended safely."""
+
+    def __init__(self, directory: str):
+        self.dir = directory
+        os.makedirs(os.path.join(directory, "Scans"), exist_ok=True)
+        os.makedirs(os.path.join(directory, "SCDs"), exist_ok=True)
+        self._times: List[float] = []
+
+    def save_keyframe(self, idx: int, cloud: np.ndarray, scd: np.ndarray,
+                      time: float) -> None:
+        name = f"{idx:06d}"
+        pcd_io.write_pcd(os.path.join(self.dir, "Scans", name + ".pcd"), cloud)
+        save_scd(os.path.join(self.dir, "SCDs", name + ".scd"), scd)
+        self._times.append(time)
+        with open(os.path.join(self.dir, "times.txt"), "w") as f:
+            for t in self._times:
+                f.write(f"{t:.6f}\n")
+
+    def save_poses(self, optimized: np.ndarray, odometry: np.ndarray,
+                   loop_edges=None) -> None:
+        save_kitti_poses(os.path.join(self.dir, "optimized_poses.txt"), optimized)
+        save_kitti_poses(os.path.join(self.dir, "odom_poses.txt"), odometry)
+        n = len(optimized)
+        rels = np.stack(
+            [np.linalg.inv(odometry[i]) @ odometry[i + 1] for i in range(n - 1)]
+        ) if n > 1 else np.zeros((0, 4, 4))
+        save_g2o(
+            os.path.join(self.dir, "singlesession_posegraph.g2o"),
+            optimized, rels, loop_edges,
+        )
+
+
+def load_session(directory: str):
+    """Resume inputs: (optimized poses [K,4,4], times [K], scan paths,
+    scd arrays). The reference can only re-localize against saved SCDs via
+    the multi-session API; this enables full resume."""
+    poses = load_kitti_poses(os.path.join(directory, "optimized_poses.txt"))
+    times = np.loadtxt(os.path.join(directory, "times.txt")).reshape(-1)
+    scans = sorted(
+        os.path.join(directory, "Scans", f)
+        for f in os.listdir(os.path.join(directory, "Scans"))
+        if f.endswith(".pcd")
+    )
+    scd_dir = os.path.join(directory, "SCDs")
+    scds = sorted(
+        os.path.join(scd_dir, f)
+        for f in os.listdir(scd_dir)
+        if f.endswith(".scd")
+    ) if os.path.isdir(scd_dir) else []
+    return poses, times, scans, scds
