@@ -1,0 +1,93 @@
+"""Benchmark: front-end SLAM throughput (scans/sec/chip) on synthetic
+HDL-64-density scans — feature extraction + scan-to-scan odometry +
+scan-to-map refinement per frame, steady-state, one chip.
+
+Baseline: the reference is a real-time 10 Hz CPU system with a 100 ms/stage
+budget (src/scanRegistration.cpp:471-472, src/laserOdometry.cpp:594-595;
+BASELINE.md). vs_baseline = scans_per_sec / 10.
+
+Prints exactly one JSON line.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    from scaloam_tpu import config
+    from scaloam_tpu.models import mapping as mapping_mod
+    from scaloam_tpu.models import odometry as odometry_mod
+    from scaloam_tpu.ops import features
+    from scaloam_tpu.types import LidarScan
+    from scaloam_tpu.utils import synthetic
+
+    cfg = config.kitti_hdl64()
+
+    print("devices: " + str(jax.devices()), file=sys.stderr)
+
+    # Pre-generate HDL-64-density scans along a trajectory (~128k rays).
+    n_frames = 12
+    world = synthetic.make_world(seed=3, n_boxes=60, extent=70.0)
+    scans, _ = synthetic.simulate_trajectory(
+        world, n_frames=n_frames, speed=1.2, radius=40.0,
+        n_scans=64, n_azimuth=2048, seed=7,
+    )
+    print(
+        f"scan sizes: {[len(s) for s in scans[:4]]} ...", file=sys.stderr
+    )
+    device_scans = [
+        LidarScan.from_numpy(s, cfg.sensor.max_points) for s in scans
+    ]
+
+    o_state = odometry_mod.init_state(cfg)
+    m_state = mapping_mod.init_state(cfg)
+
+    def frame(o_state, m_state, scan):
+        feats = features.extract_features(scan, cfg)
+        o_state, o_out = odometry_mod.odometry_step(o_state, feats, cfg)
+        m_state, m_out = mapping_mod.mapping_step(
+            m_state, o_out.world, feats.less_sharp, feats.less_flat, cfg
+        )
+        return o_state, m_state, m_out.pose
+
+    # Warmup/compile (first frames also populate the map).
+    t0 = time.time()
+    for s in device_scans[:3]:
+        o_state, m_state, pose = frame(o_state, m_state, s)
+    jax.block_until_ready(pose.trans)
+    print(f"warmup+compile: {time.time() - t0:.1f}s", file=sys.stderr)
+
+    # Steady state: cycle the remaining scans.
+    n_timed = 30
+    t0 = time.time()
+    for i in range(n_timed):
+        s = device_scans[3 + i % (n_frames - 3)]
+        o_state, m_state, pose = frame(o_state, m_state, s)
+    jax.block_until_ready(pose.trans)
+    dt = time.time() - t0
+    scans_per_sec = n_timed / dt
+    print(
+        f"steady state: {n_timed} frames in {dt:.2f}s "
+        f"({1000 * dt / n_timed:.1f} ms/frame)",
+        file=sys.stderr,
+    )
+
+    print(
+        json.dumps(
+            {
+                "metric": "frontend_scans_per_sec_per_chip",
+                "value": round(scans_per_sec, 3),
+                "unit": "scans/s",
+                "vs_baseline": round(scans_per_sec / 10.0, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,156 @@
+"""Asynchronous pipelined runtime — the 4-node ROS graph as host threads.
+
+Reference topology (launch/aloam_mulran.launch:30-33): four OS processes
+communicate over TCPROS; stages overlap so odometry holds 10 Hz while
+mapping/PGO lag and self-throttle. Here: one thread per stage with
+BoundedQueue links; device stages stay jitted, the GIL is released while
+XLA executes, so stages genuinely overlap on host+device.
+
+  ingest -> [registration] -> featq -> [odometry] -> mapq(drop-oldest)
+         -> [mapping] -> kfq -> [backend: keyframes/SC/ICP/PGO]
+
+The backend thread mirrors the PGO node's worker threads
+(src/laserPosegraphOptimization.cpp:910-916) collapsed to one consumer at
+keyframe rate plus periodic loop detection/optimization, preserving the
+1 Hz cadences (:732-742,:791-808) in wall-clock terms.
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from typing import List, Optional
+
+import numpy as np
+
+from scaloam_tpu.config import SlamConfig
+from scaloam_tpu.models import mapping as mapping_mod
+from scaloam_tpu.models import odometry as odometry_mod
+from scaloam_tpu.models.pipeline import SlamSystem
+from scaloam_tpu.ops import features, se3
+from scaloam_tpu.runtime.queues import BoundedQueue
+from scaloam_tpu.types import LidarScan
+
+
+class AsyncSlamPipeline:
+    """Threaded wrapper over SlamSystem's stages with real-time semantics.
+
+    The mapping stage uses get_latest() (drop-backlog), so under overload
+    the odometry rate is preserved and mapping processes the freshest frame,
+    exactly like the reference's real-time policy."""
+
+    def __init__(self, cfg: SlamConfig, drop_backlog: Optional[bool] = None):
+        self.cfg = cfg
+        self.drop_backlog = (
+            cfg.runtime.drop_backlog if drop_backlog is None else drop_backlog
+        )
+        self.sys = SlamSystem(cfg)
+        qd = cfg.runtime.queue_depth
+        self.scan_q = BoundedQueue(qd, "scans")
+        self.feat_q = BoundedQueue(qd, "features")
+        self.map_q = BoundedQueue(qd, "mapping")
+        self.kf_q = BoundedQueue(qd, "keyframes")
+        self.odom_results: List = []
+        self.mapped_results: List = []
+        self._threads: List[threading.Thread] = []
+        self._stop = threading.Event()
+        self._lock = threading.Lock()
+
+    # -- stages ---------------------------------------------------------------
+
+    def _registration_worker(self):
+        while True:
+            item = self.scan_q.get(timeout=0.2)
+            if item is None:
+                if self._stop.is_set() and len(self.scan_q) == 0:
+                    self.feat_q.close()
+                    return
+                continue
+            t, pts = item
+            scan = LidarScan.from_numpy(pts, self.cfg.sensor.max_points)
+            feats = features.extract_features(scan, self.cfg)
+            self.feat_q.put((t, feats))
+
+    def _odometry_worker(self):
+        while True:
+            item = self.feat_q.get(timeout=0.2)
+            if item is None:
+                if self._stop.is_set() and len(self.feat_q) == 0:
+                    self.map_q.close()
+                    return
+                continue
+            t, feats = item
+            self.sys.o_state, o_out = odometry_mod.odometry_step(
+                self.sys.o_state, feats, self.cfg
+            )
+            self.odom_results.append((t, np.asarray(o_out.world.trans)))
+            self.map_q.put((t, o_out.world, feats))
+
+    def _mapping_worker(self):
+        get = self.map_q.get_latest if self.drop_backlog else self.map_q.get
+        while True:
+            item = get(timeout=0.2)
+            if item is None:
+                if self._stop.is_set() and len(self.map_q) == 0:
+                    self.kf_q.close()
+                    return
+                continue
+            t, odom_pose, feats = item
+            self.sys.m_state, m_out = mapping_mod.mapping_step(
+                self.sys.m_state, odom_pose, feats.less_sharp,
+                feats.less_flat, self.cfg,
+            )
+            self.mapped_results.append((t, np.asarray(m_out.pose.trans)))
+            self.kf_q.put((t, m_out.pose, feats))
+
+    def _backend_worker(self):
+        from scaloam_tpu.models import posegraph as pg
+
+        last_opt = time.time()
+        while True:
+            item = self.kf_q.get(timeout=0.2)
+            if item is None:
+                if self._stop.is_set() and len(self.kf_q) == 0:
+                    return
+                continue
+            t, mapped_pose, feats = item
+            with self._lock:
+                if self.sys._keyframe_gate(mapped_pose):
+                    self.sys._add_keyframe(feats, mapped_pose, t)
+                    self.sys._detect_and_verify_loop()
+            now = time.time()
+            if now - last_opt >= 1.0 / max(self.cfg.runtime.pgo_hz, 1e-6):
+                with self._lock:
+                    if len(self.sys.keyframes) > 1:
+                        self.sys.graph = pg.optimize(self.sys.graph, self.cfg.pgo)
+                last_opt = now
+
+    # -- lifecycle ------------------------------------------------------------
+
+    def start(self) -> None:
+        for fn in (
+            self._registration_worker,
+            self._odometry_worker,
+            self._mapping_worker,
+            self._backend_worker,
+        ):
+            th = threading.Thread(target=fn, daemon=True)
+            th.start()
+            self._threads.append(th)
+
+    def feed(self, time_s: float, points: np.ndarray) -> None:
+        self.scan_q.put((time_s, points))
+
+    def finish(self, timeout: float = 300.0) -> None:
+        self._stop.set()
+        self.scan_q.close()
+        deadline = time.time() + timeout
+        for th in self._threads:
+            th.join(max(0.1, deadline - time.time()))
+
+    @property
+    def dropped_frames(self) -> int:
+        return (
+            self.scan_q.dropped + self.feat_q.dropped
+            + self.map_q.dropped + self.kf_q.dropped
+        )

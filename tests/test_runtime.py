@@ -1,0 +1,75 @@
+"""Async pipelined runtime: queues behave like the reference's; the
+threaded pipeline produces the same odometry as the sync driver."""
+
+import dataclasses
+import time
+
+import numpy as np
+import pytest
+
+from scaloam_tpu import config
+from scaloam_tpu.runtime.queues import BoundedQueue
+
+
+def test_bounded_queue_drop_oldest():
+    q = BoundedQueue(maxlen=3)
+    for i in range(5):
+        q.put(i)
+    assert q.dropped == 2
+    assert q.get() == 2
+
+
+def test_bounded_queue_get_latest():
+    q = BoundedQueue(maxlen=10)
+    for i in range(5):
+        q.put(i)
+    assert q.get_latest() == 4
+    assert q.dropped == 4
+    assert len(q) == 0
+
+
+def test_bounded_queue_close_unblocks():
+    q = BoundedQueue()
+    t0 = time.time()
+    q.close()
+    assert q.get(timeout=5.0) is None
+    assert time.time() - t0 < 1.0
+
+
+@pytest.mark.slow
+def test_async_pipeline_matches_sync_odometry():
+    from scaloam_tpu.models.pipeline import SlamSystem
+    from scaloam_tpu.runtime.pipeline import AsyncSlamPipeline
+    from scaloam_tpu.utils import synthetic
+
+    cfg = config.kitti_hdl64()
+    cfg = cfg.replace(
+        sensor=dataclasses.replace(cfg.sensor, minimum_range=1.0),
+        mapping=dataclasses.replace(
+            cfg.mapping,
+            max_corner_map=8192, max_surf_map=16384,
+            max_corner_match=8192, max_surf_match=16384,
+            max_corner_input=2048, max_surf_input=8192,
+        ),
+    )
+    world = synthetic.make_world(seed=8)
+    scans, _ = synthetic.simulate_trajectory(
+        world, n_frames=6, speed=0.8, radius=25.0, n_azimuth=720, seed=40
+    )
+
+    sync = SlamSystem(cfg)
+    sync_t = []
+    for i, s in enumerate(scans):
+        r = sync.process_scan(s, time=0.1 * i)
+        sync_t.append(np.asarray(r.odom_pose.trans))
+
+    pipe = AsyncSlamPipeline(cfg, drop_backlog=False)
+    pipe.start()
+    for i, s in enumerate(scans):
+        pipe.feed(0.1 * i, s)
+    pipe.finish()
+
+    assert len(pipe.odom_results) == len(scans)
+    assert pipe.dropped_frames == 0
+    for (t, got), want in zip(pipe.odom_results, sync_t):
+        np.testing.assert_allclose(got, want, atol=1e-4)
