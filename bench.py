@@ -19,6 +19,14 @@ import numpy as np
 def main():
     import jax
 
+    # Persist compiled executables across runs (first axon-TPU compiles of
+    # the big kernels take minutes through the remote-compile tunnel).
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     from scaloam_tpu import config
     from scaloam_tpu.models import mapping as mapping_mod
     from scaloam_tpu.models import odometry as odometry_mod

@@ -91,11 +91,15 @@ class MappingConfig:
     plane_fit_tol: float = 0.2  # |n.p + d| <= 0.2 validity (:670-680)
     min_corner_map: int = 10  # minimum map density guards (:555)
     min_surf_map: int = 50
-    max_corner_map: int = 65536  # device map capacities
+    # Torus voxel-grid map (ops/gridmap.py): cells of `cell_size` m over a
+    # [grid_xy, grid_xy, grid_z] torus — the 21x21x11 cube array, TPU-style.
+    cell_size: float = 4.0
+    grid_xy: int = 48  # +-96 m matching window before torus wrap
+    grid_z: int = 16
+    corner_cell_cap: int = 32  # points per cell
+    surf_cell_cap: int = 64
+    max_corner_map: int = 65536  # flattened-extract capacities (viz/artifacts)
     max_surf_map: int = 131072
-    max_corner_match: int = 32768  # pose-local matching-target capacities
-    max_surf_match: int = 49152  # (sensor-range window; multiples of 2048)
-    match_radius: float = 85.0  # sensor range + NN gate
     max_corner_input: int = 4096  # downsampled input capacities
     max_surf_input: int = 16384
 

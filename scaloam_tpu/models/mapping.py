@@ -16,13 +16,14 @@ Reference: src/laserMapping.cpp (952 LoC). Per frame:
   - inputs inserted at the refined pose; touched cubes re-voxel-filtered
     (:737-802)
 
-TPU design (SURVEY.md §7): the cube array becomes a fixed-capacity
-voxel-deduplicated point map windowed around the pose — functionally the
-5x5x3 gather (recentering is an index no-op: eviction by coordinate mask).
-Matching targets are additionally pre-compacted to the sensor-range
-neighborhood so the brute-force 5-NN distance work stays proportional to
-what a KD-tree would touch. Eigen/QR per-point solves become batched
-closed-form fits (ops.fit).
+TPU design (SURVEY.md §7): the cube array becomes a torus-addressed
+voxel-grid map (ops/gridmap.py) — O(1) insert, lazy eviction, and 5-NN as
+an 8-neighbor-cell gather, so per-frame cost is O(inputs), independent of
+map size. Recentering is an index no-op. Eigen/QR per-point solves are
+batched closed-form fits (ops.fit). Density is bounded by occupancy-gated
+insertion at the map resolutions (the re-voxel-filter equivalent; keeps
+first point per resolution ball instead of the centroid — documented
+deviation).
 """
 
 from __future__ import annotations
@@ -34,18 +35,13 @@ import jax
 import jax.numpy as jnp
 
 from scaloam_tpu.config import SlamConfig
-from scaloam_tpu.ops import fit, gn, residuals, se3, voxel
+from scaloam_tpu.ops import fit, gn, gridmap, residuals, se3, voxel
 from scaloam_tpu.types import FeatureCloud, Pose
 
 
-class MapCloud(NamedTuple):
-    xyz: jax.Array  # [C, 3]
-    mask: jax.Array  # [C]
-
-
 class MappingState(NamedTuple):
-    corner_map: MapCloud
-    surf_map: MapCloud
+    corner_grid: gridmap.GridMap
+    surf_grid: gridmap.GridMap
     correction: Pose  # wmap_T_wodom (transformIncremental)
     pose: Pose  # last refined map pose (aft_mapped)
     frame_idx: jax.Array
@@ -62,37 +58,25 @@ class MappingOutput(NamedTuple):
 
 def init_state(cfg: SlamConfig) -> MappingState:
     m = cfg.mapping
+    n_cells = m.grid_xy * m.grid_xy * m.grid_z
     return MappingState(
-        corner_map=MapCloud(
-            jnp.zeros((m.max_corner_map, 3), jnp.float32),
-            jnp.zeros((m.max_corner_map,), bool),
-        ),
-        surf_map=MapCloud(
-            jnp.zeros((m.max_surf_map, 3), jnp.float32),
-            jnp.zeros((m.max_surf_map,), bool),
-        ),
+        corner_grid=gridmap.init_grid(n_cells, m.corner_cell_cap),
+        surf_grid=gridmap.init_grid(n_cells, m.surf_cell_cap),
         correction=Pose.identity(),
         pose=Pose.identity(),
         frame_idx=jnp.array(0, jnp.int32),
     )
 
 
-def _active_window(cloud: MapCloud, center: jax.Array, radius: float, cap: int) -> MapCloud:
-    """Compact map points within `radius` (xy, chebyshev) of the pose —
-    the brute-force equivalent of touching only nearby cubes."""
-    d = jnp.abs(cloud.xyz[:, :2] - center[None, :2])
-    near = cloud.mask & jnp.all(d <= radius, axis=-1)
-    m, x = voxel.compact(near, cap, cloud.xyz)
-    return MapCloud(xyz=x, mask=m)
-
-
 def _corner_correspond(pose: Pose, pts: jax.Array, pmask: jax.Array,
-                       target: MapCloud, mcfg):
+                       grid: gridmap.GridMap, mcfg):
     """5-NN -> covariance eigendecomposition -> synthetic line endpoints
     (:578-622). Returns (a, b, valid)."""
     pw = se3.apply(pose, pts)  # pointAssociateToMap
-    d, idx = voxel.knn(pw, pmask, target.xyz, target.mask, k=mcfg.knn)
-    nb = target.xyz[idx]  # [N, 5, 3]
+    d, nb = gridmap.knn_grid(
+        grid, pw, pmask, mcfg.grid_xy, mcfg.grid_xy, mcfg.grid_z,
+        mcfg.cell_size, reach=1.0, k=mcfg.knn,
+    )
     ok_nn = pmask & (d[:, -1] < mcfg.corner_nn_max_dist)  # sqDis[4] < 1.0
     mean, cov = fit.neighborhood_cov(nb)
     vals, vdir = fit.eigh3x3(cov)
@@ -103,12 +87,14 @@ def _corner_correspond(pose: Pose, pts: jax.Array, pmask: jax.Array,
 
 
 def _surf_correspond(pose: Pose, pts: jax.Array, pmask: jax.Array,
-                     target: MapCloud, mcfg):
+                     grid: gridmap.GridMap, mcfg):
     """5-NN -> least-squares plane fit -> validity gate (:649-686).
     Returns (unit_norm, neg_d, valid)."""
     pw = se3.apply(pose, pts)
-    d, idx = voxel.knn(pw, pmask, target.xyz, target.mask, k=mcfg.knn)
-    nb = target.xyz[idx]
+    d, nb = gridmap.knn_grid(
+        grid, pw, pmask, mcfg.grid_xy, mcfg.grid_xy, mcfg.grid_z,
+        mcfg.cell_size, reach=1.0, k=mcfg.knn,
+    )
     ok_nn = pmask & (d[:, -1] < mcfg.surf_nn_max_dist_sq)
     unit_n, neg_d, ok_fit = fit.fit_plane(nb)
     # plane validity: every neighbor within plane_fit_tol of the plane (:670-680)
@@ -117,22 +103,7 @@ def _surf_correspond(pose: Pose, pts: jax.Array, pmask: jax.Array,
     return unit_n, neg_d, ok_nn & ok_fit & planar
 
 
-def _merge_into_map(cloud: MapCloud, new_xyz: jax.Array, new_mask: jax.Array,
-                    center: jax.Array, res: float, keep_xy: float, keep_z: float,
-                    cap: int) -> MapCloud:
-    """Insert registered points, evict outside the sliding window, and
-    voxel-dedupe at map resolution (the per-cube re-filter, :788-802)."""
-    dxy = jnp.abs(cloud.xyz[:, :2] - center[None, :2])
-    dz = jnp.abs(cloud.xyz[:, 2] - center[2])
-    keep = cloud.mask & jnp.all(dxy <= keep_xy, axis=-1) & (dz <= keep_z)
-    allx = jnp.concatenate([cloud.xyz, new_xyz], axis=0)
-    allm = jnp.concatenate([keep, new_mask], axis=0)
-    # Retain nearest-to-pose voxels first if capacity overflows.
-    x, m, _ = voxel.voxel_downsample(allx, allm, res, cap, priority_center=center)
-    return MapCloud(xyz=x, mask=m)
-
-
-@functools.partial(jax.jit, static_argnames=("cfg",))
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
 def mapping_step(
     state: MappingState,
     odom_pose: Pose,
@@ -153,17 +124,9 @@ def mapping_step(
         surf_cloud.xyz, surf_cloud.mask, m.plane_resolution, m.max_surf_input
     )
 
-    # Matching targets: map windows near the pose (sensor range + gate).
-    corner_tgt = _active_window(
-        state.corner_map, prior.trans, m.match_radius, m.max_corner_match
-    )
-    surf_tgt = _active_window(
-        state.surf_map, prior.trans, m.match_radius, m.max_surf_match
-    )
-
     dense_enough = (
-        (jnp.sum(corner_tgt.mask.astype(jnp.int32)) > m.min_corner_map)
-        & (jnp.sum(surf_tgt.mask.astype(jnp.int32)) > m.min_surf_map)
+        (state.corner_grid.total > m.min_corner_map)
+        & (state.surf_grid.total > m.min_surf_map)
     )
 
     pose = prior
@@ -171,10 +134,10 @@ def mapping_step(
     n_s = jnp.zeros((), jnp.int32)
     for _ in range(m.outer_iterations):
         a, b, cv = _corner_correspond(
-            pose, cin_xyz, cin_mask & dense_enough, corner_tgt, m
+            pose, cin_xyz, cin_mask & dense_enough, state.corner_grid, m
         )
         un, nd, sv = _surf_correspond(
-            pose, sin_xyz, sin_mask & dense_enough, surf_tgt, m
+            pose, sin_xyz, sin_mask & dense_enough, state.surf_grid, m
         )
         n_c = jnp.sum(cv.astype(jnp.int32))
         n_s = jnp.sum(sv.astype(jnp.int32))
@@ -190,27 +153,26 @@ def mapping_step(
 
     # Degenerate guard: with a sparse map keep the prior.
     pose = jax.tree.map(
-        lambda a, b: jnp.where(dense_enough, a, b), pose, prior
+        lambda a_, b_: jnp.where(dense_enough, a_, b_), pose, prior
     )
 
     # transformUpdate (:149-153)
     correction = se3.compose(pose, se3.inverse(odom_pose))
 
-    # Insert registered inputs (:737-784) + window eviction + re-filter.
-    corner_map = _merge_into_map(
-        state.corner_map, se3.apply(pose, cin_xyz), cin_mask,
-        pose.trans, m.line_resolution, m.window_radius_xy, m.window_radius_z,
-        m.max_corner_map,
+    # Insert registered inputs (:737-784); occupancy dedup is the per-cube
+    # re-voxel-filter; torus staleness is the recenter/evict.
+    corner_grid = gridmap.insert(
+        state.corner_grid, se3.apply(pose, cin_xyz), cin_mask,
+        m.grid_xy, m.grid_xy, m.grid_z, m.cell_size, m.line_resolution,
     )
-    surf_map = _merge_into_map(
-        state.surf_map, se3.apply(pose, sin_xyz), sin_mask,
-        pose.trans, m.plane_resolution, m.window_radius_xy, m.window_radius_z,
-        m.max_surf_map,
+    surf_grid = gridmap.insert(
+        state.surf_grid, se3.apply(pose, sin_xyz), sin_mask,
+        m.grid_xy, m.grid_xy, m.grid_z, m.cell_size, m.plane_resolution,
     )
 
     new_state = MappingState(
-        corner_map=corner_map,
-        surf_map=surf_map,
+        corner_grid=corner_grid,
+        surf_grid=surf_grid,
         correction=correction,
         pose=pose,
         frame_idx=state.frame_idx + 1,
@@ -220,6 +182,16 @@ def mapping_step(
         correction=correction,
         n_corner_corr=n_c,
         n_surf_corr=n_s,
-        map_corner_count=jnp.sum(corner_map.mask.astype(jnp.int32)),
-        map_surf_count=jnp.sum(surf_map.mask.astype(jnp.int32)),
+        map_corner_count=corner_grid.total,
+        map_surf_count=surf_grid.total,
     )
+
+
+def map_points(state: MappingState, cfg: SlamConfig):
+    """Flattened (corner, surf) map clouds for viz/artifacts
+    (the /laser_cloud_surround and /laser_cloud_map publications,
+    src/laserMapping.cpp:805-838)."""
+    m = cfg.mapping
+    cx, cm = gridmap.extract_points(state.corner_grid, m.max_corner_map)
+    sx, sm = gridmap.extract_points(state.surf_grid, m.max_surf_map)
+    return (cx, cm), (sx, sm)

@@ -31,6 +31,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from scaloam_tpu.config import SlamConfig
 from scaloam_tpu.types import FeatureCloud, LidarScan, RangeImage, ScanFeatures
@@ -219,7 +220,7 @@ def extract_features(scan: LidarScan, cfg: SlamConfig) -> ScanFeatures:
     img, count = ri.xyz, ri.count
 
     curv = _curvature(img)
-    jj = jnp.arange(W)[None, :]
+    jj = np.arange(W)[None, :]
     feat_range = (jj >= 5) & (jj <= count[:, None] - 6)
 
     left_ext, right_ext = _suppression_reach(
@@ -236,85 +237,80 @@ def extract_features(scan: LidarScan, cfg: SlamConfig) -> ScanFeatures:
 
     LMAX = (W - 11 + NSUB - 1) // NSUB + 1
     LMAX = -(-LMAX // 128) * 128  # lane-align
-    l_off = jnp.arange(LMAX)[None, :]
+    l_off = np.arange(LMAX)[None, None, :]
 
     n_sharp = feat.sharp_per_subregion
     n_corner = feat.less_sharp_per_subregion
     n_flat = feat.flat_per_subregion
 
-    def gather_sub(arr, s):
-        jjj = jnp.clip(sp[:, s, None] + l_off, 0, W - 1)
-        return arr[jnp.arange(S)[:, None], jjj], jjj
+    # Subregion views, built once: all 6 subregions are processed in
+    # PARALLEL lanes (the reference iterates them sequentially; the only
+    # semantic difference is that a pick's +-5 suppression band reaches an
+    # adjacent subregion one pick-step later — a boundary-only effect).
+    jsub = jnp.clip(sp[:, :, None] + l_off, 0, W - 1)  # [S, NSUB, LMAX]
+    rows3 = np.arange(S)[:, None, None]
+    curv_sub = curv[rows3, jsub]
+    within = l_off <= (ep - sp)[:, :, None]
+    base_ok = within & ring_sel_ok[:, None, None]
+    left_sub = left_ext[rows3, jsub]
+    right_sub = right_ext[rows3, jsub]
 
-    def pick_loop(s, state):
-        suppressed, labels, corner_idx, corner_ok, flat_idx, flat_ok = state
-        within = l_off <= (ep[:, s, None] - sp[:, s, None])
-        base_ok = within & ring_sel_ok[:, None]
-
-        def one_corner(p, st):
-            suppressed, labels, corner_idx, corner_ok = st
-            c_sub, jsub = gather_sub(curv, s)
-            sup_sub = suppressed[jnp.arange(S)[:, None], jsub]
-            cand = base_ok & ~sup_sub & (c_sub > feat.curvature_threshold)
-            val = jnp.where(cand, c_sub, _NEG)
-            lstar = jnp.argmax(val, axis=1)
-            found = jnp.any(cand, axis=1)
-            jstar = sp[:, s] + lstar
-            jstar_c = jnp.clip(jstar, 0, W - 1)
-            rows = jnp.arange(S)
-            lo = jstar - left_ext[rows, jstar_c]
-            hi = jstar + right_ext[rows, jstar_c]
-            band = (jj >= lo[:, None]) & (jj <= hi[:, None]) & found[:, None]
-            suppressed = suppressed | band
-            labels = labels.at[rows, jstar_c].max(
-                jnp.where(found, jnp.where(p < n_sharp, 2, 1), 0)
-            )
-            corner_idx = corner_idx.at[:, s, p].set(jstar_c)
-            corner_ok = corner_ok.at[:, s, p].set(found)
-            return suppressed, labels, corner_idx, corner_ok
-
-        suppressed, labels, corner_idx, corner_ok = jax.lax.fori_loop(
-            0, n_corner, one_corner, (suppressed, labels, corner_idx, corner_ok)
+    def one_pick(state, is_corner, p):
+        sup_sub, corner_idx, corner_ok, flat_idx, flat_ok = state
+        if is_corner:
+            cand = base_ok & ~sup_sub & (curv_sub > feat.curvature_threshold)
+            val = jnp.where(cand, curv_sub, _NEG)
+            lstar = jnp.argmax(val, axis=-1)  # [S, NSUB]
+        else:
+            cand = base_ok & ~sup_sub & (curv_sub < feat.curvature_threshold)
+            val = jnp.where(cand, curv_sub, _POS)
+            lstar = jnp.argmin(val, axis=-1)
+        found = jnp.any(cand, axis=-1)  # [S, NSUB]
+        jstar = jnp.take_along_axis(jsub, lstar[:, :, None], -1)[..., 0]
+        lext = jnp.take_along_axis(left_sub, lstar[:, :, None], -1)[..., 0]
+        rext = jnp.take_along_axis(right_sub, lstar[:, :, None], -1)[..., 0]
+        lo = jstar - lext  # [S, NSUB]
+        hi = jstar + rext
+        # Reference quirk: the last flat pick of a subregion breaks out
+        # BEFORE suppressing its neighborhood (src/scanRegistration.cpp:
+        # 367-371), so its band must not be applied.
+        do_sup = found if (is_corner or p < n_flat - 1) else jnp.zeros_like(found)
+        # Each band suppresses across ALL subregions of its ring:
+        # [S, src NSUB, tgt NSUB, LMAX]
+        band = (
+            (jsub[:, None, :, :] >= lo[:, :, None, None])
+            & (jsub[:, None, :, :] <= hi[:, :, None, None])
+            & do_sup[:, :, None, None]
         )
+        sup_sub = sup_sub | jnp.any(band, axis=1)
+        if is_corner:
+            corner_idx = corner_idx.at[:, :, p].set(jstar)
+            corner_ok = corner_ok.at[:, :, p].set(found)
+        else:
+            flat_idx = flat_idx.at[:, :, p].set(jstar)
+            flat_ok = flat_ok.at[:, :, p].set(found)
+        return sup_sub, corner_idx, corner_ok, flat_idx, flat_ok
 
-        def one_flat(p, st):
-            suppressed, labels, flat_idx, flat_ok = st
-            c_sub, jsub = gather_sub(curv, s)
-            sup_sub = suppressed[jnp.arange(S)[:, None], jsub]
-            cand = base_ok & ~sup_sub & (c_sub < feat.curvature_threshold)
-            val = jnp.where(cand, c_sub, _POS)
-            lstar = jnp.argmin(val, axis=1)
-            found = jnp.any(cand, axis=1)
-            jstar = sp[:, s] + lstar
-            jstar_c = jnp.clip(jstar, 0, W - 1)
-            rows = jnp.arange(S)
-            lo = jstar - left_ext[rows, jstar_c]
-            hi = jstar + right_ext[rows, jstar_c]
-            # Reference quirk: the final flat pick breaks out BEFORE marking
-            # its neighborhood (smallestPickedNum >= 4 check precedes the
-            # suppression loop, src/scanRegistration.cpp:367-371).
-            do_sup = found & (p < n_flat - 1)
-            band = (jj >= lo[:, None]) & (jj <= hi[:, None]) & do_sup[:, None]
-            suppressed = suppressed | band
-            flat_idx = flat_idx.at[:, s, p].set(jstar_c)
-            flat_ok = flat_ok.at[:, s, p].set(found)
-            return suppressed, labels, flat_idx, flat_ok
-
-        suppressed, labels, flat_idx, flat_ok = jax.lax.fori_loop(
-            0, n_flat, one_flat, (suppressed, labels, flat_idx, flat_ok)
-        )
-        return suppressed, labels, corner_idx, corner_ok, flat_idx, flat_ok
-
-    init = (
-        jnp.zeros((S, W), bool),  # suppressed (cloudNeighborPicked)
-        jnp.zeros((S, W), jnp.int32),  # labels (2 sharp, 1 less-sharp)
+    state = (
+        jnp.zeros((S, NSUB, LMAX), bool),  # cloudNeighborPicked (view space)
         jnp.zeros((S, NSUB, n_corner), jnp.int32),
         jnp.zeros((S, NSUB, n_corner), bool),
         jnp.zeros((S, NSUB, n_flat), jnp.int32),
         jnp.zeros((S, NSUB, n_flat), bool),
     )
-    _, labels, corner_idx, corner_ok, flat_idx, flat_ok = jax.lax.fori_loop(
-        0, NSUB, pick_loop, init
+    state = jax.lax.fori_loop(
+        0, n_corner, lambda p, st: one_pick(st, True, p), state
+    )
+    for p in range(n_flat):  # n_flat is tiny; unroll to allow the p gate
+        state = one_pick(state, False, p)
+    _, corner_idx, corner_ok, flat_idx, flat_ok = state
+
+    # Reconstruct corner labels on the ring grid for the less-flat mask.
+    rows_flat = np.repeat(np.arange(S), NSUB * n_corner)
+    labels = (
+        jnp.zeros((S, W), bool)
+        .at[rows_flat, corner_idx.reshape(-1)]
+        .max(corner_ok.reshape(-1))
     )
 
     rows3 = jnp.arange(S)[:, None, None]
@@ -324,7 +320,7 @@ def extract_features(scan: LidarScan, cfg: SlamConfig) -> ScanFeatures:
             idx, ok = idx[:, :, :first_k], ok[:, :, :first_k]
         g_xyz = img[rows3, idx].reshape(-1, 3)
         g_ring = jnp.broadcast_to(
-            jnp.arange(S, dtype=jnp.float32)[:, None, None], idx.shape
+            jnp.asarray(np.arange(S, dtype=np.float32))[:, None, None], idx.shape
         ).reshape(-1)
         g_rt = ri.rel_time[rows3, idx].reshape(-1)
         m, x, r, t = voxel.compact(ok.reshape(-1), capacity, g_xyz, g_ring, g_rt)
@@ -337,10 +333,10 @@ def extract_features(scan: LidarScan, cfg: SlamConfig) -> ScanFeatures:
     # Less-flat: subregion points not labeled corner (label <= 0, :404-408),
     # voxel-filtered per ring at 0.2 m (:414-419).
     sub_range = (jj >= 5) & (jj <= (count[:, None] - 7)) & ring_sel_ok[:, None]
-    lf_mask = sub_range & (labels <= 0) & ri.mask
+    lf_mask = sub_range & ~labels & ri.mask
     lf_xyz = img.reshape(-1, 3)
     lf_m = lf_mask.reshape(-1)
-    ring_grid = jnp.broadcast_to(jnp.arange(S)[:, None], (S, W)).reshape(-1)
+    ring_grid = jnp.asarray(np.broadcast_to(np.arange(S)[:, None], (S, W)).reshape(-1))
     extra = jnp.stack(
         [ring_grid.astype(jnp.float32), ri.rel_time.reshape(-1)], axis=-1
     )

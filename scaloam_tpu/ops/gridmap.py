@@ -1,0 +1,172 @@
+"""Torus-addressed voxel-grid map: the TPU-native cube map.
+
+Reference: laserMapping keeps a 21x21x11 array of 50 m cubes, recenters it
+by shifting the array when the pose nears an edge (six while-loops,
+src/laserMapping.cpp:74-104,324-508), gathers a 5x5x3 neighborhood as the
+matching target (:513-538), inserts registered points per cube (:737-784)
+and re-voxel-filters touched cubes (:788-802).
+
+TPU design: a fixed [G^3, K] cell array addressed MODULO the grid (a torus)
+— recentering becomes a no-op: each cell remembers the absolute cell
+coordinate it stores, and a cell whose stored coordinate no longer matches
+a query/insert is simply stale (lazy eviction on overwrite). Insert is one
+small sort of the input batch (rank within cell) + scatter; the 5-NN
+matching target is an 8-neighbor-cell gather (cell size >= 2x the NN reach
+guarantees every in-gate neighbor is covered), so correspondence cost is
+O(queries x 8K) instead of O(queries x map).
+
+Density bounding (the voxel re-filter): a new point is skipped when the
+cell already holds a point within `dedup_radius` (occupancy gating, the
+FAST-LIO-style approximation of PCL's centroid voxel filter).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_BIG = jnp.float32(1e30)
+
+
+class GridMap(NamedTuple):
+    pts: jax.Array  # [C, K, 3]
+    count: jax.Array  # [C] int32 valid entries
+    cell_coord: jax.Array  # [C, 3] int32 absolute cell coords stored
+    total: jax.Array  # int32: total valid points (cheap density guard)
+
+
+def init_grid(n_cells: int, cap: int) -> GridMap:
+    return GridMap(
+        pts=jnp.zeros((n_cells, cap, 3), jnp.float32),
+        count=jnp.zeros((n_cells,), jnp.int32),
+        cell_coord=jnp.full((n_cells, 3), jnp.int32(2**30)),
+        total=jnp.array(0, jnp.int32),
+    )
+
+
+def _flat_idx(cc: jax.Array, gx: int, gy: int, gz: int) -> jax.Array:
+    """Absolute cell coords [.., 3] -> torus flat index."""
+    return (
+        (cc[..., 0] % gx) * (gy * gz)
+        + (cc[..., 1] % gy) * gz
+        + (cc[..., 2] % gz)
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("gx", "gy", "gz", "cell_size", "dedup_radius"))
+def insert(
+    grid: GridMap,
+    xyz: jax.Array,  # [N, 3] new (already input-downsampled) points
+    mask: jax.Array,  # [N]
+    gx: int, gy: int, gz: int,
+    cell_size: float,
+    dedup_radius: float,
+) -> GridMap:
+    N = xyz.shape[0]
+    K = grid.pts.shape[1]
+    cc = jnp.floor(xyz / cell_size).astype(jnp.int32)
+    idx = _flat_idx(cc, gx, gy, gz)
+    idx = jnp.where(mask, idx, grid.pts.shape[0])  # invalid -> dump slot
+
+    # Stale cells: stored absolute coord differs -> logically empty.
+    stored_cc = grid.cell_coord[jnp.minimum(idx, grid.pts.shape[0] - 1)]
+    fresh = jnp.all(stored_cc == cc, axis=-1)
+    base = jnp.where(fresh, grid.count[jnp.minimum(idx, grid.pts.shape[0] - 1)], 0)
+
+    # Occupancy dedup vs existing cell content (only when fresh).
+    cell_pts = grid.pts[jnp.minimum(idx, grid.pts.shape[0] - 1)]  # [N, K, 3]
+    d2 = jnp.sum((cell_pts - xyz[:, None, :]) ** 2, axis=-1)
+    occ = np.arange(K)[None, :] < base[:, None]
+    near = jnp.any(occ & (d2 < dedup_radius * dedup_radius), axis=-1) & fresh
+    want = mask & ~near
+
+    # Rank of each inserted point within its cell (batch-local).
+    order = jnp.argsort(jnp.where(want, idx, 2**30))
+    idx_s = idx[order]
+    want_s = want[order]
+    newseg = jnp.concatenate([jnp.array([True]), idx_s[1:] != idx_s[:-1]])
+    seg_start = jax.lax.cummax(jnp.where(newseg, np.arange(N), 0))
+    pos_in_seg = np.arange(N) - seg_start
+    rank = jnp.zeros((N,), jnp.int32).at[order].set(pos_in_seg.astype(jnp.int32))
+
+    pos = base + rank
+    ok = want & (pos < K)
+    write_idx = jnp.where(ok, idx, grid.pts.shape[0])
+    pts = grid.pts.at[write_idx, jnp.where(ok, pos, 0)].set(
+        xyz, mode="drop"
+    )
+
+    # Update counts + stored coords for touched cells.
+    touched_add = jax.ops.segment_sum(
+        ok.astype(jnp.int32), write_idx, num_segments=grid.pts.shape[0] + 1
+    )[:-1]
+    reset = jax.ops.segment_max(
+        (mask & ~fresh).astype(jnp.int32), jnp.where(mask, idx, grid.pts.shape[0]),
+        num_segments=grid.pts.shape[0] + 1,
+    )[:-1]
+    new_count = jnp.minimum(
+        jnp.where(reset > 0, touched_add, grid.count + touched_add), K
+    )
+    # store the (arbitrary winner) absolute coord for reset/touched cells
+    coord_new = grid.cell_coord.at[write_idx].set(cc, mode="drop")
+    cell_coord = jnp.where((reset > 0)[:, None] | (touched_add > 0)[:, None],
+                           coord_new, grid.cell_coord)
+    total = jnp.sum(new_count)
+    return GridMap(pts=pts, count=new_count, cell_coord=cell_coord, total=total)
+
+
+@functools.partial(jax.jit, static_argnames=("gx", "gy", "gz", "cell_size", "reach", "k"))
+def knn_grid(
+    grid: GridMap,
+    query: jax.Array,  # [Q, 3]
+    query_mask: jax.Array,
+    gx: int, gy: int, gz: int,
+    cell_size: float,
+    reach: float,
+    k: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """Exact k-NN among map points within `reach` of each query (points
+    farther than reach may be missed — callers gate at reach anyway, like
+    the reference's sqDis[4] < 1.0 checks).
+
+    Requires cell_size >= 2 * reach... no: requires reach <= cell_size so
+    the 2x2x2 neighbor block covers [q-reach, q+reach]. Returns
+    (d2 [Q, k], xyz [Q, k, 3])."""
+    assert reach <= cell_size
+    K = grid.pts.shape[1]
+    lo = jnp.floor((query - reach) / cell_size).astype(jnp.int32)
+    hi = jnp.floor((query + reach) / cell_size).astype(jnp.int32)
+    # 8 candidate cells per query: each axis picks lo or hi.
+    combos = np.array(
+        [[a, b, c] for a in (0, 1) for b in (0, 1) for c in (0, 1)]
+    )  # [8, 3]
+    cc8 = jnp.where(combos[None, :, :] > 0, hi[:, None, :], lo[:, None, :])
+    idx8 = _flat_idx(cc8, gx, gy, gz)  # [Q, 8]
+    valid_cell = jnp.all(grid.cell_coord[idx8] == cc8, axis=-1)  # [Q, 8]
+    cand = grid.pts[idx8]  # [Q, 8, K, 3]
+    cnt = grid.count[idx8]  # [Q, 8]
+    ent = np.arange(K)[None, None, :]
+    cmask = valid_cell[:, :, None] & (ent < cnt[:, :, None])  # [Q, 8, K]
+    d2 = jnp.sum((cand - query[:, None, None, :]) ** 2, axis=-1)
+    d2 = jnp.where(cmask, d2, _BIG).reshape(query.shape[0], -1)
+    negd, j = jax.lax.top_k(-d2, k)
+    nn = jnp.take_along_axis(
+        cand.reshape(query.shape[0], -1, 3), j[:, :, None], axis=1
+    )
+    d_out = jnp.where(query_mask[:, None], -negd, _BIG)
+    return d_out, nn
+
+
+def extract_points(grid: GridMap, capacity: int) -> Tuple[jax.Array, jax.Array]:
+    """Flatten valid map points (for visualization / artifacts)."""
+    C, K = grid.pts.shape[0], grid.pts.shape[1]
+    flat = grid.pts.reshape(-1, 3)
+    ent = jnp.asarray(np.arange(K)[None, :])
+    m = (ent < grid.count[:, None]).reshape(-1)
+    from scaloam_tpu.ops import voxel
+    mm, xx = voxel.compact(m, capacity, flat)
+    return xx, mm

@@ -17,10 +17,8 @@ def _small_cfg():
     return cfg.replace(
         mapping=dataclasses.replace(
             cfg.mapping,
-            max_corner_map=8192,
-            max_surf_map=16384,
-            max_corner_match=8192,
-            max_surf_match=16384,
+            grid_xy=32,
+            grid_z=8,
             max_corner_input=2048,
             max_surf_input=8192,
         )
@@ -73,7 +71,7 @@ def test_mapping_corrects_noisy_odometry():
             LidarScan.from_numpy(s, cfg.sensor.max_points), cfg
         )
         T = gt0_inv @ gt[i]
-        noise = rng.normal(0, 0.05, size=3) if i > 0 else np.zeros(3)
+        noise = rng.normal(0, 0.12, size=3) if i > 0 else np.zeros(3)
         odom_pose = Pose(
             se3.mat_to_quat(jnp.array(T[:3, :3], jnp.float32)),
             jnp.array(T[:3, 3] + noise, jnp.float32),
@@ -86,4 +84,4 @@ def test_mapping_corrects_noisy_odometry():
 
     # refined pose error beats the injected odometry error on noisy frames
     assert np.mean(drift_err[1:]) < np.mean(raw_err[1:])
-    assert max(drift_err) < 0.1, drift_err
+    assert max(drift_err) < 0.15, drift_err

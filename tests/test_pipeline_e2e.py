@@ -18,8 +18,7 @@ def _e2e_cfg():
         sensor=dataclasses.replace(cfg.sensor, minimum_range=1.0),
         mapping=dataclasses.replace(
             cfg.mapping,
-            max_corner_map=8192, max_surf_map=16384,
-            max_corner_match=8192, max_surf_match=16384,
+            grid_xy=32, grid_z=8,
             max_corner_input=2048, max_surf_input=8192,
         ),
         scancontext=dataclasses.replace(
