@@ -288,3 +288,67 @@ class SlamSystem:
         return np.asarray(
             se3.pose_to_matrix(Pose(jnp.asarray(qs), jnp.asarray(ts)))
         )
+
+    # -- session artifacts + resume (SURVEY.md §5 checkpoint/resume) ----------
+
+    def save_session(self, directory: str) -> None:
+        """Writes the reference's full artifact set: Scans/, SCDs/,
+        times.txt, optimized/odom poses (KITTI), g2o
+        (src/laserPosegraphOptimization.cpp:198-259,693-700)."""
+        from scaloam_tpu.io import artifacts
+
+        w = artifacts.SessionWriter(directory)
+        n = len(self.keyframes)
+        descs = np.asarray(self.sc.db.descriptors)
+        for k, kf in enumerate(self.keyframes):
+            w.save_keyframe(k, kf.cloud, descs[k], kf.time)
+        loop_edges = []
+        nl = int(self.graph.n_loops)
+        li = np.asarray(self.graph.loop_i)[:nl]
+        lj = np.asarray(self.graph.loop_j)[:nl]
+        lq = np.asarray(self.graph.loop_rel.quat)[:nl]
+        lt = np.asarray(self.graph.loop_rel.trans)[:nl]
+        for i in range(nl):
+            T = np.asarray(se3.pose_to_matrix(
+                Pose(jnp.asarray(lq[i]), jnp.asarray(lt[i]))
+            ))
+            loop_edges.append((int(li[i]), int(lj[i]), T))
+        w.save_poses(
+            self.optimized_poses(), self.odometry_keyframe_poses(), loop_edges
+        )
+
+    @classmethod
+    def resume(cls, directory: str, cfg: SlamConfig) -> "SlamSystem":
+        """True resume (the reference has none): reload keyframe clouds,
+        poses, SC database; continue keyframing/loop-closing/optimizing.
+        Odometry/mapping restart fresh and re-anchor via the next frames."""
+        from scaloam_tpu.io import artifacts, pcd as pcd_io
+
+        sys_ = cls(cfg)
+        poses, times, scan_paths, scd_paths = artifacts.load_session(directory)
+        n = min(len(times), len(scan_paths))
+        for k in range(n):
+            cloud = pcd_io.read_pcd(scan_paths[k])[:, :3]
+            sys_.keyframes.append(Keyframe(cloud=cloud, time=float(times[k])))
+            sys_.kf_times.append(float(times[k]))
+            T = poses[k]
+            pose = Pose(
+                se3.mat_to_quat(jnp.asarray(T[:3, :3], jnp.float32)),
+                jnp.asarray(T[:3, 3], jnp.float32),
+            )
+            sys_.graph = pg.add_keyframe(
+                sys_.graph, pose, jnp.float32(0.0), jnp.asarray(False)
+            )
+            if k < len(scd_paths):
+                sc = np.loadtxt(scd_paths[k]).astype(np.float32)
+                sys_.sc.save_descriptor(jnp.asarray(sc))
+            else:
+                cap = cfg.scancontext.max_input_points
+                xyz = np.zeros((cap, 3), np.float32)
+                m = np.zeros(cap, bool)
+                xyz[: len(cloud)] = cloud[:cap]
+                m[: min(len(cloud), cap)] = True
+                sys_.sc.make_and_save(jnp.asarray(xyz), jnp.asarray(m))
+            sys_._last_pose = _np_pose(pose)
+        sys_.frame_idx = 0
+        return sys_

@@ -1,0 +1,156 @@
+"""CLI runner — the roslaunch equivalent (C14/L6).
+
+Examples:
+  python -m scaloam_tpu.run --preset kitti_hdl64 --kitti-dir /data/kitti/05 \
+      --poses /data/kitti/poses/05.txt --out /tmp/out05
+  python -m scaloam_tpu.run --preset mulran_os1_64 --mulran-dir /data/Riverside01 \
+      --out /tmp/riv01 --use-gps
+  python -m scaloam_tpu.run --preset kitti_hdl64 --synthetic 120 --out /tmp/synth
+
+Replaces launch/*.launch: the preset picks the sensor model + thresholds
+(SURVEY.md §5 config table); artifacts land in --out in the reference's
+formats; ATE RMSE is reported when ground truth is available.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="TPU-native SC-A-LOAM")
+    p.add_argument("--preset", default="kitti_hdl64",
+                   choices=["kitti_hdl64", "mulran_os1_64", "vlp16", "hdl32"])
+    p.add_argument("--kitti-dir", help="KITTI sequence dir (times.txt, velodyne/)")
+    p.add_argument("--poses", help="KITTI ground-truth pose file (for ATE)")
+    p.add_argument("--mulran-dir", help="MulRan sequence dir")
+    p.add_argument("--synthetic", type=int, default=0,
+                   help="run N synthetic frames instead of a dataset")
+    p.add_argument("--out", help="artifact output directory")
+    p.add_argument("--max-frames", type=int, default=None)
+    p.add_argument("--use-gps", action="store_true",
+                   help="feed MulRan GPS altitude factors")
+    p.add_argument("--resume", help="resume from a saved session directory")
+    p.add_argument("--async-pipeline", action="store_true",
+                   help="threaded real-time pipeline instead of the sync driver")
+    p.add_argument("--sc-dist-thres", type=float, default=None)
+    p.add_argument("--keyframe-gap", type=float, default=None)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    import dataclasses
+
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    from scaloam_tpu import config
+    from scaloam_tpu.models.pipeline import SlamSystem
+    from scaloam_tpu.utils.evaluation import ate_rmse
+    from scaloam_tpu.utils.timing import StageTimer
+
+    cfg = config.PRESETS[args.preset]()
+    if args.sc_dist_thres is not None:
+        cfg = cfg.replace(scancontext=dataclasses.replace(
+            cfg.scancontext, dist_threshold=args.sc_dist_thres))
+    if args.keyframe_gap is not None:
+        cfg = cfg.replace(pgo=dataclasses.replace(
+            cfg.pgo, keyframe_meter_gap=args.keyframe_gap))
+
+    # -- data source ---------------------------------------------------------
+    gt_poses = None
+    if args.kitti_dir:
+        from scaloam_tpu.io.kitti import KittiSequence
+
+        seq = KittiSequence(args.kitti_dir, args.poses, args.max_frames)
+        frames = iter(seq)
+        gt_poses = seq.gt_poses
+    elif args.mulran_dir:
+        from scaloam_tpu.io.mulran import MulranSequence
+
+        seq = MulranSequence(args.mulran_dir, args.max_frames)
+        frames = iter(seq)
+    elif args.synthetic:
+        from scaloam_tpu.utils import synthetic
+
+        world = synthetic.make_world(seed=0, n_boxes=60, extent=70.0)
+        scans, gt = synthetic.simulate_trajectory(
+            world, n_frames=args.synthetic, speed=1.0, radius=30.0,
+            n_azimuth=1024,
+        )
+        frames = ((0.1 * i, s) for i, s in enumerate(scans))
+        gt_poses = gt
+    else:
+        print("need --kitti-dir, --mulran-dir or --synthetic", file=sys.stderr)
+        return 2
+
+    # -- run -----------------------------------------------------------------
+    if args.resume:
+        sys_ = SlamSystem.resume(args.resume, cfg)
+        print(f"resumed {len(sys_.keyframes)} keyframes from {args.resume}",
+              file=sys.stderr)
+    else:
+        sys_ = SlamSystem(cfg)
+
+    if args.use_gps and args.mulran_dir:
+        for t, alt in seq.gps_events():
+            sys_.add_gps(t, alt)
+
+    timer = StageTimer(budget_ms=cfg.runtime.stage_budget_ms)
+    n = 0
+    t_start = time.time()
+    for t, pts in frames:
+        with timer.stage("frame"):
+            sys_.process_scan(np.asarray(pts[:, :3], np.float32), time=t)
+        n += 1
+        if n % 50 == 0:
+            print(
+                f"frame {n}: keyframes={len(sys_.keyframes)} "
+                f"loops={len(sys_.loops_found)} "
+                f"mean={timer.mean_ms('frame'):.0f} ms", file=sys.stderr,
+            )
+    wall = time.time() - t_start
+
+    result = {
+        "frames": n,
+        "keyframes": len(sys_.keyframes),
+        "loops": len(sys_.loops_found),
+        "scans_per_sec": round(n / max(wall, 1e-9), 2),
+    }
+
+    if args.out:
+        sys_.save_session(args.out)
+        result["out"] = args.out
+
+    if gt_poses is not None and len(sys_.keyframes) > 2:
+        est = sys_.optimized_poses()
+        odom = sys_.odometry_keyframe_poses()
+        gt0 = np.linalg.inv(gt_poses[0])
+        gt_rel = np.stack([gt0 @ g for g in gt_poses])
+        kf_frames = [
+            int(np.argmin(np.linalg.norm(
+                gt_rel[:, :3, 3] - odom[k, :3, 3], axis=-1)))
+            for k in range(len(sys_.keyframes))
+        ]
+        gt_kf = gt_rel[kf_frames]
+        result["ate_rmse_optimized"] = round(ate_rmse(est, gt_kf), 4)
+        result["ate_rmse_odometry"] = round(ate_rmse(odom, gt_kf), 4)
+
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
