@@ -56,6 +56,29 @@ def _np_pose(p: Pose) -> Pose:
     return Pose(np.asarray(p.quat), np.asarray(p.trans))
 
 
+def _np_quat_conj(q):
+    return q * np.array([1.0, -1.0, -1.0, -1.0])
+
+
+def _np_quat_mul(a, b):
+    aw, ax, ay, az = a
+    bw, bx, by, bz = b
+    return np.array([
+        aw * bw - ax * bx - ay * by - az * bz,
+        aw * bx + ax * bw + ay * bz - az * by,
+        aw * by - ax * bz + ay * bw + az * bx,
+        aw * bz + ax * by - ay * bx + az * bw,
+    ])
+
+
+def _np_quat_to_rpy(q):
+    w, x, y, z = q
+    roll = np.arctan2(2 * (w * x + y * z), 1 - 2 * (x * x + y * y))
+    pitch = np.arcsin(np.clip(2 * (w * y - z * x), -1.0, 1.0))
+    yaw = np.arctan2(2 * (w * z + x * y), 1 - 2 * (y * y + z * z))
+    return roll, pitch, yaw
+
+
 class SlamSystem:
     """Stateful host orchestrator over jitted device stages."""
 
@@ -134,14 +157,13 @@ class SlamSystem:
             self._last_pose = _np_pose(pose)
             self._trans_accum = 1e9  # first frame is always a keyframe
         else:
+            # pure-numpy pose delta: host math must not dispatch device ops
+            # per frame (each eager op is an RPC on a tunneled TPU)
             prev = self._last_pose
             cur = _np_pose(pose)
-            dt = np.linalg.norm(np.asarray(cur.trans) - np.asarray(prev.trans))
-            rel = se3.relative(
-                Pose(jnp.asarray(prev.quat), jnp.asarray(prev.trans)),
-                Pose(jnp.asarray(cur.quat), jnp.asarray(cur.trans)),
-            )
-            r, p_, y = se3.quat_to_rpy(rel.quat)
+            dt = np.linalg.norm(cur.trans - prev.trans)
+            rel_q = _np_quat_mul(_np_quat_conj(prev.quat), cur.quat)
+            r, p_, y = _np_quat_to_rpy(rel_q)
             self._trans_accum += float(dt)
             self._rot_accum += abs(float(r)) + abs(float(p_)) + abs(float(y))
             self._last_pose = cur
