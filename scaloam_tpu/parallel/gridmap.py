@@ -1,0 +1,85 @@
+"""Sharded torus voxel-grid map: cells partitioned over the mesh.
+
+BASELINE.json's north star shards "keyframes and voxel blocks" across the
+pod. Here the grid map's cell dimension is split over the `kf` mesh axis:
+each device owns a contiguous slab of torus cells (insert and storage stay
+local to the owner), queries are replicated, every device answers the 8-cell
+neighbor gather for the cells it owns, and the per-device k-NN candidates
+are merged with one all_gather of [Q, k] (tiny). Exactness matches the
+single-device knn_grid.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+
+from scaloam_tpu.ops.gridmap import GridMap, _flat_idx
+from scaloam_tpu.parallel.mesh import KF_AXIS
+
+_BIG = jnp.float32(1e30)
+
+
+def knn_grid_sharded(
+    mesh,
+    grid: GridMap,  # cell-sharded along dim 0
+    query: jax.Array,  # [Q, 3] replicated
+    query_mask: jax.Array,
+    gx: int, gy: int, gz: int,
+    cell_size: float,
+    reach: float,
+    k: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """Sharded equivalent of ops.gridmap.knn_grid."""
+    n_dev = mesh.shape[KF_AXIS]
+    C = grid.pts.shape[0]
+    assert C % n_dev == 0
+    slab = C // n_dev
+    K = grid.pts.shape[1]
+    combos = np.array(
+        [[a, b, c] for a in (0, 1) for b in (0, 1) for c in (0, 1)]
+    )
+
+    def local(pts, count, cell_coord, q, qm):
+        me = jax.lax.axis_index(KF_AXIS)
+        base = me * slab
+        lo = jnp.floor((q - reach) / cell_size).astype(jnp.int32)
+        hi = jnp.floor((q + reach) / cell_size).astype(jnp.int32)
+        cc8 = jnp.where(combos[None, :, :] > 0, hi[:, None, :], lo[:, None, :])
+        idx8 = _flat_idx(cc8, gx, gy, gz)  # [Q, 8] global cell ids
+        mine = (idx8 >= base) & (idx8 < base + slab)
+        loc = jnp.clip(idx8 - base, 0, slab - 1)
+        valid_cell = mine & jnp.all(cell_coord[loc] == cc8, axis=-1)
+        cand = pts[loc]  # [Q, 8, K, 3]
+        cnt = count[loc]
+        ent = np.arange(K)[None, None, :]
+        cmask = valid_cell[:, :, None] & (ent < cnt[:, :, None])
+        d2 = jnp.sum((cand - q[:, None, None, :]) ** 2, axis=-1)
+        d2 = jnp.where(cmask, d2, _BIG).reshape(q.shape[0], -1)
+        negd, j = jax.lax.top_k(-d2, k)
+        nn_local = jnp.take_along_axis(
+            cand.reshape(q.shape[0], -1, 3), j[:, :, None], axis=1
+        )
+        d_local = -negd  # [Q, k]
+        # merge across devices
+        all_d = jax.lax.all_gather(d_local, KF_AXIS)  # [n_dev, Q, k]
+        all_nn = jax.lax.all_gather(nn_local, KF_AXIS)  # [n_dev, Q, k, 3]
+        all_d = jnp.moveaxis(all_d, 0, 1).reshape(q.shape[0], -1)
+        all_nn = jnp.moveaxis(all_nn, 0, 1).reshape(q.shape[0], -1, 3)
+        negg, jj = jax.lax.top_k(-all_d, k)
+        nn = jnp.take_along_axis(all_nn, jj[:, :, None], axis=1)
+        d_out = jnp.where(qm[:, None], -negg, _BIG)
+        return d_out, nn
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(KF_AXIS), P(KF_AXIS), P(KF_AXIS), P(), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )(grid.pts, grid.count, grid.cell_coord, query, query_mask)

@@ -1,0 +1,89 @@
+"""Cell-sharded grid map k-NN matches the single-device version."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from scaloam_tpu.ops import gridmap
+from scaloam_tpu.parallel import gridmap as pgrid
+from scaloam_tpu.parallel import mesh as mesh_mod
+
+GX = GY = 16
+GZ = 8
+CS = 4.0
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    assert len(jax.devices()) >= 8
+    return mesh_mod.make_mesh(8)
+
+
+def test_sharded_knn_grid_matches(mesh8, rng):
+    grid = gridmap.init_grid(GX * GY * GZ, 16)
+    pts = rng.uniform(-25, 25, size=(4096, 3)).astype(np.float32)
+    grid = gridmap.insert(
+        grid, jnp.asarray(pts), jnp.ones(4096, bool), GX, GY, GZ, CS, 0.2
+    )
+    q = rng.uniform(-20, 20, size=(256, 3)).astype(np.float32)
+    qm = jnp.ones(256, bool)
+
+    d1, nn1 = gridmap.knn_grid(
+        grid, jnp.asarray(q), qm, GX, GY, GZ, CS, reach=1.0, k=5
+    )
+    d2, nn2 = pgrid.knn_grid_sharded(
+        mesh8, grid, jnp.asarray(q), qm, GX, GY, GZ, CS, reach=1.0, k=5
+    )
+    np.testing.assert_allclose(np.asarray(d2), np.asarray(d1), atol=1e-5)
+    # neighbor sets agree where distances are within reach
+    close = np.asarray(d1) < 1.0
+    np.testing.assert_allclose(
+        np.sort(np.asarray(nn2)[close], axis=-1),
+        np.sort(np.asarray(nn1)[close], axis=-1),
+        atol=1e-5,
+    )
+
+
+def test_gridmap_insert_dedup(rng):
+    grid = gridmap.init_grid(GX * GY * GZ, 16)
+    pts = np.array([[1.0, 1.0, 1.0], [1.05, 1.0, 1.0], [3.0, 1.0, 1.0]],
+                   np.float32)
+    grid = gridmap.insert(
+        grid, jnp.asarray(pts), jnp.ones(3, bool), GX, GY, GZ, CS, 0.2
+    )
+    # batch-internal dedup is the input voxel-downsample's job; all 3 land
+    assert int(grid.total) == 3
+    # re-inserting against existing content adds nothing (occupancy gate)
+    grid = gridmap.insert(
+        grid, jnp.asarray(pts), jnp.ones(3, bool), GX, GY, GZ, CS, 0.2
+    )
+    assert int(grid.total) == 3
+    # a genuinely new point still inserts
+    p_new = np.array([[10.0, 1.0, 1.0]], np.float32)
+    grid = gridmap.insert(grid, jnp.asarray(p_new), jnp.ones(1, bool),
+                          GX, GY, GZ, CS, 0.2)
+    assert int(grid.total) == 4
+
+
+def test_gridmap_staleness_eviction(rng):
+    """A far-away insert claiming the same torus cell evicts stale content."""
+    grid = gridmap.init_grid(GX * GY * GZ, 16)
+    p1 = np.array([[1.0, 1.0, 1.0]], np.float32)
+    grid = gridmap.insert(grid, jnp.asarray(p1), jnp.ones(1, bool),
+                          GX, GY, GZ, CS, 0.2)
+    # same torus cell: offset by GX * CS in x
+    p2 = p1 + np.array([[GX * CS, 0.0, 0.0]], np.float32)
+    grid = gridmap.insert(grid, jnp.asarray(p2), jnp.ones(1, bool),
+                          GX, GY, GZ, CS, 0.2)
+    # old content evicted, new stored
+    d, nn = gridmap.knn_grid(
+        grid, jnp.asarray(p2), jnp.ones(1, bool), GX, GY, GZ, CS,
+        reach=1.0, k=1,
+    )
+    assert float(d[0, 0]) < 1e-6
+    d_old, _ = gridmap.knn_grid(
+        grid, jnp.asarray(p1), jnp.ones(1, bool), GX, GY, GZ, CS,
+        reach=1.0, k=1,
+    )
+    assert float(d_old[0, 0]) > 1e20  # stale cell not matchable
