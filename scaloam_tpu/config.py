@@ -93,11 +93,13 @@ class MappingConfig:
     min_surf_map: int = 50
     # Torus voxel-grid map (ops/gridmap.py): cells of `cell_size` m over a
     # [grid_xy, grid_xy, grid_z] torus — the 21x21x11 cube array, TPU-style.
-    cell_size: float = 4.0
-    grid_xy: int = 48  # +-96 m matching window before torus wrap
-    grid_z: int = 16
-    corner_cell_cap: int = 32  # points per cell
-    surf_cell_cap: int = 64
+    # Small cells keep the 8-cell neighbor gather tight: volume per gather
+    # is 8 * cell_cap; must satisfy cell_size >= NN reach (1 m).
+    cell_size: float = 2.0
+    grid_xy: int = 96  # +-96 m matching window before torus wrap
+    grid_z: int = 32
+    corner_cell_cap: int = 8  # points per cell (0.4 m dedup in 2 m cells)
+    surf_cell_cap: int = 16  # (0.8 m dedup in 2 m cells)
     max_corner_map: int = 65536  # flattened-extract capacities (viz/artifacts)
     max_surf_map: int = 131072
     max_corner_input: int = 4096  # downsampled input capacities

@@ -116,12 +116,15 @@ def mapping_step(
     # transformAssociateToMap (:143-147)
     prior = se3.compose(state.correction, odom_pose)
 
-    # Downsample inputs (:543-551).
-    cin_xyz, cin_mask, _ = voxel.voxel_downsample(
-        corner_cloud.xyz, corner_cloud.mask, m.line_resolution, m.max_corner_input
+    # Downsample inputs (:543-551). Packed single-sort fast path; inputs are
+    # sensor-local clouds so +-2^9 cells cover them at these resolutions.
+    cin_xyz, cin_mask, _ = voxel.voxel_downsample_packed(
+        corner_cloud.xyz, corner_cloud.mask, m.line_resolution,
+        m.max_corner_input, xy_bits=10, z_bits=9,
     )
-    sin_xyz, sin_mask, _ = voxel.voxel_downsample(
-        surf_cloud.xyz, surf_cloud.mask, m.plane_resolution, m.max_surf_input
+    sin_xyz, sin_mask, _ = voxel.voxel_downsample_packed(
+        surf_cloud.xyz, surf_cloud.mask, m.plane_resolution,
+        m.max_surf_input, xy_bits=10, z_bits=9,
     )
 
     dense_enough = (

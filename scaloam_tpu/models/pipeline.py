@@ -182,9 +182,10 @@ class SlamSystem:
         ri = feats.full
         flat_xyz = ri.xyz.reshape(-1, 3)
         flat_mask = ri.mask.reshape(-1)
-        kf_xyz, kf_mask, _ = voxel.voxel_downsample(
+        kf_xyz, kf_mask, _ = voxel.voxel_downsample_packed(
             flat_xyz, flat_mask, cfg.pgo.keyframe_voxel_size,
             capacity=cfg.scancontext.max_input_points,
+            xy_bits=10, z_bits=9,
         )
         kf_np = np.asarray(kf_xyz)[np.asarray(kf_mask)]
         self.keyframes.append(Keyframe(cloud=kf_np, time=time))

@@ -235,64 +235,62 @@ def extract_features(scan: LidarScan, cfg: SlamConfig) -> ScanFeatures:
     ep = 5 + (L[:, None] * (j_sub[None, :] + 1)) // NSUB - 1
     ring_sel_ok = L >= NSUB  # `if scanEnd - scanStart < 6 continue` (:292)
 
-    LMAX = (W - 11 + NSUB - 1) // NSUB + 1
-    LMAX = -(-LMAX // 128) * 128  # lane-align
-    l_off = np.arange(LMAX)[None, None, :]
-
     n_sharp = feat.sharp_per_subregion
     n_corner = feat.less_sharp_per_subregion
     n_flat = feat.flat_per_subregion
 
-    # Subregion views, built once: all 6 subregions are processed in
-    # PARALLEL lanes (the reference iterates them sequentially; the only
+    # Selection runs directly on the [S, W] grid: subregion membership is an
+    # arithmetic comparison against the sp boundaries (NO gathers — TPU
+    # irregular gathers are the former bottleneck here). All 6 subregions
+    # pick in PARALLEL (the reference iterates them sequentially; the only
     # semantic difference is that a pick's +-5 suppression band reaches an
     # adjacent subregion one pick-step later — a boundary-only effect).
-    jsub = jnp.clip(sp[:, :, None] + l_off, 0, W - 1)  # [S, NSUB, LMAX]
-    rows3 = np.arange(S)[:, None, None]
-    curv_sub = curv[rows3, jsub]
-    within = l_off <= (ep - sp)[:, :, None]
-    base_ok = within & ring_sel_ok[:, None, None]
-    left_sub = left_ext[rows3, jsub]
-    right_sub = right_ext[rows3, jsub]
+    eligible = (jj >= 5) & (jj <= (4 + L)[:, None]) & ring_sel_ok[:, None]
+    # membership masks per subregion: sp_s <= j <= ep_s
+    sub_masks = [
+        (jj >= sp[:, s, None]) & (jj <= ep[:, s, None]) for s in range(NSUB)
+    ]
 
     def one_pick(state, is_corner, p):
-        sup_sub, corner_idx, corner_ok, flat_idx, flat_ok = state
+        suppressed, corner_idx, corner_ok, flat_idx, flat_ok = state
         if is_corner:
-            cand = base_ok & ~sup_sub & (curv_sub > feat.curvature_threshold)
-            val = jnp.where(cand, curv_sub, _NEG)
-            lstar = jnp.argmax(val, axis=-1)  # [S, NSUB]
+            cand = eligible & ~suppressed & (curv > feat.curvature_threshold)
+            val = jnp.where(cand, curv, _NEG)
         else:
-            cand = base_ok & ~sup_sub & (curv_sub < feat.curvature_threshold)
-            val = jnp.where(cand, curv_sub, _POS)
-            lstar = jnp.argmin(val, axis=-1)
-        found = jnp.any(cand, axis=-1)  # [S, NSUB]
-        jstar = jnp.take_along_axis(jsub, lstar[:, :, None], -1)[..., 0]
-        lext = jnp.take_along_axis(left_sub, lstar[:, :, None], -1)[..., 0]
-        rext = jnp.take_along_axis(right_sub, lstar[:, :, None], -1)[..., 0]
-        lo = jstar - lext  # [S, NSUB]
-        hi = jstar + rext
+            cand = eligible & ~suppressed & (curv < feat.curvature_threshold)
+            val = jnp.where(cand, -curv, _NEG)  # argmin via negated argmax
+        js, fs_ = [], []
+        for s in range(NSUB):
+            v = jnp.where(sub_masks[s], val, _NEG)
+            js.append(jnp.argmax(v, axis=-1))
+            fs_.append(jnp.max(v, axis=-1) > _NEG)
+        jstar = jnp.stack(js, axis=1)  # [S, NSUB]
+        found = jnp.stack(fs_, axis=1)
+        rows = np.arange(S)[:, None]
+        lext = left_ext[rows, jstar]
+        rext = right_ext[rows, jstar]
+        lo = jnp.where(found, jstar - lext, -1)
+        hi = jnp.where(found, jstar + rext, -1)
         # Reference quirk: the last flat pick of a subregion breaks out
         # BEFORE suppressing its neighborhood (src/scanRegistration.cpp:
         # 367-371), so its band must not be applied.
-        do_sup = found if (is_corner or p < n_flat - 1) else jnp.zeros_like(found)
-        # Each band suppresses across ALL subregions of its ring:
-        # [S, src NSUB, tgt NSUB, LMAX]
-        band = (
-            (jsub[:, None, :, :] >= lo[:, :, None, None])
-            & (jsub[:, None, :, :] <= hi[:, :, None, None])
-            & do_sup[:, :, None, None]
-        )
-        sup_sub = sup_sub | jnp.any(band, axis=1)
+        if is_corner or p < n_flat - 1:
+            band = jnp.zeros((S, W), bool)
+            for s in range(NSUB):
+                band = band | (
+                    (jj >= lo[:, s, None]) & (jj <= hi[:, s, None])
+                )
+            suppressed = suppressed | band
         if is_corner:
             corner_idx = corner_idx.at[:, :, p].set(jstar)
             corner_ok = corner_ok.at[:, :, p].set(found)
         else:
             flat_idx = flat_idx.at[:, :, p].set(jstar)
             flat_ok = flat_ok.at[:, :, p].set(found)
-        return sup_sub, corner_idx, corner_ok, flat_idx, flat_ok
+        return suppressed, corner_idx, corner_ok, flat_idx, flat_ok
 
     state = (
-        jnp.zeros((S, NSUB, LMAX), bool),  # cloudNeighborPicked (view space)
+        jnp.zeros((S, W), bool),  # cloudNeighborPicked
         jnp.zeros((S, NSUB, n_corner), jnp.int32),
         jnp.zeros((S, NSUB, n_corner), bool),
         jnp.zeros((S, NSUB, n_flat), jnp.int32),
@@ -305,7 +303,8 @@ def extract_features(scan: LidarScan, cfg: SlamConfig) -> ScanFeatures:
         state = one_pick(state, False, p)
     _, corner_idx, corner_ok, flat_idx, flat_ok = state
 
-    # Reconstruct corner labels on the ring grid for the less-flat mask.
+    # Corner labels on the ring grid (for the less-flat exclusion), built
+    # once from all picks (one small scatter).
     rows_flat = np.repeat(np.arange(S), NSUB * n_corner)
     labels = (
         jnp.zeros((S, W), bool)
@@ -340,9 +339,12 @@ def extract_features(scan: LidarScan, cfg: SlamConfig) -> ScanFeatures:
     extra = jnp.stack(
         [ring_grid.astype(jnp.float32), ri.rel_time.reshape(-1)], axis=-1
     )
-    dx, dm, de = voxel.voxel_downsample(
+    # Packed-key fast path: z dropped from the key (a (ring, x, y) column
+    # holds one surface sample in per-ring lidar geometry), ring in the
+    # group bits -> single-sort voxel filter.
+    dx, dm, de = voxel.voxel_downsample_packed(
         lf_xyz, lf_m, feat.less_flat_voxel_size, feat.max_less_flat,
-        extra=extra, group_key=ring_grid,
+        extra=extra, group_key=ring_grid, group_bits=6, xy_bits=10, z_bits=0,
     )
     less_flat = FeatureCloud(
         xyz=dx, ring=jnp.where(dm, de[:, 0], -1.0), rel_time=de[:, 1], mask=dm

@@ -84,13 +84,28 @@ def fit_plane(pts: jax.Array) -> Tuple[jax.Array, jax.Array, jax.Array]:
     K = pts.shape[-2]
     AtA = jnp.einsum("...ki,...kj->...ij", pts, pts, precision=_HI)
     Atb = -jnp.sum(pts, axis=-2)
-    # 3x3 solve via adjugate (batched, branch-free)
-    det = jnp.linalg.det(AtA)
+    # Closed-form symmetric 3x3 solve (Cramer/adjugate): batched LU
+    # (jnp.linalg.solve) is far slower on TPU than these VPU formulas.
+    a = AtA[..., 0, 0]; b = AtA[..., 0, 1]; c = AtA[..., 0, 2]
+    d = AtA[..., 1, 1]; e = AtA[..., 1, 2]; f = AtA[..., 2, 2]
+    co00 = d * f - e * e
+    co01 = c * e - b * f
+    co02 = b * e - c * d
+    co11 = a * f - c * c
+    co12 = b * c - a * e
+    co22 = a * d - b * b
+    det = a * co00 + b * co01 + c * co02
     ok = jnp.abs(det) > 1e-12
-    AtA_safe = jnp.where(
-        ok[..., None, None], AtA, jnp.eye(3, dtype=pts.dtype)
+    inv_det = jnp.where(ok, 1.0 / jnp.where(ok, det, 1.0), 0.0)
+    bx, by, bz = Atb[..., 0], Atb[..., 1], Atb[..., 2]
+    n = jnp.stack(
+        [
+            (co00 * bx + co01 * by + co02 * bz) * inv_det,
+            (co01 * bx + co11 * by + co12 * bz) * inv_det,
+            (co02 * bx + co12 * by + co22 * bz) * inv_det,
+        ],
+        axis=-1,
     )
-    n = jnp.linalg.solve(AtA_safe, Atb[..., None])[..., 0]
     norm = jnp.linalg.norm(n, axis=-1)
     # Ill-conditioned solves overflow rather than trip the det gate; treat
     # non-finite or exploded solutions as failed fits.

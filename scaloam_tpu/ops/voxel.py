@@ -22,6 +22,7 @@ import functools
 from typing import NamedTuple, Optional, Tuple
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 _BIG = jnp.float32(1e30)
@@ -109,6 +110,107 @@ def voxel_downsample(
         )[:capacity]
         out_extra = esums / denom
     return out_xyz, out_mask, out_extra
+
+
+def voxel_downsample_packed(
+    xyz: jax.Array,
+    mask: jax.Array,
+    voxel_size: float,
+    capacity: int,
+    extra: Optional[jax.Array] = None,
+    group_key: Optional[jax.Array] = None,
+    group_bits: int = 0,
+    xy_bits: int = 10,
+    z_bits: int = 9,
+) -> Tuple[jax.Array, jax.Array, Optional[jax.Array]]:
+    """Fast-path centroid voxel filter: one packed int32 key, one sort.
+
+    The generic voxel_downsample lexsorts four keys (four chained sorts);
+    here the voxel coords are packed into a single int32 —
+    [group | cx | cy | cz] with the given bit widths — so the sort runs
+    once. Coords are centered on the masked centroid and CLIPPED to the bit
+    range, so points beyond +-2^(bits-1) cells merge into border cells
+    (callers use spans comfortably above the sensor range). z_bits=0 drops
+    z from the key — exact for per-ring lidar geometry where a (ring, x, y)
+    column holds a single surface sample (the less-flat filter).
+    """
+    n = xyz.shape[0]
+    coords = jnp.floor(xyz / voxel_size).astype(jnp.int32)
+    denom = jnp.maximum(jnp.sum(mask), 1)
+    center = (
+        jnp.sum(jnp.where(mask[:, None], coords, 0), axis=0) // denom
+    )
+    c = coords - center[None, :]
+
+    def clipb(v, bits):
+        half = 1 << (bits - 1)
+        return jnp.clip(v + half, 0, (1 << bits) - 1)
+
+    key = clipb(c[:, 0], xy_bits)
+    key = (key << xy_bits) | clipb(c[:, 1], xy_bits)
+    if z_bits > 0:
+        key = (key << z_bits) | clipb(c[:, 2], z_bits)
+    if group_bits > 0:
+        gk = jnp.clip(group_key.astype(jnp.int32), 0, (1 << group_bits) - 1)
+        key = (gk << (xy_bits * 2 + z_bits)) | key
+    key = jnp.where(mask, key, jnp.int32(2**31 - 1))
+
+    # One multi-operand sort carrying the payloads (no post-sort random
+    # gathers — irregular gathers and duplicate-index scatters are the slow
+    # primitives on TPU). Per-voxel centroid = mean of (up to) the first 8
+    # sorted entries, computed with shifted adds on the sorted arrays and a
+    # single unique-index gather at the segment starts. Voxels holding >8
+    # points average their first 8 (rare at sane leafs; bias << leaf size).
+    MEAN_WINDOW = 8
+    operands = [key, mask.astype(jnp.int32), xyz[:, 0], xyz[:, 1], xyz[:, 2]]
+    n_extra = 0
+    if extra is not None:
+        n_extra = extra.shape[1]
+        operands += [extra[:, i] for i in range(n_extra)]
+    sorted_ops = jax.lax.sort(operands, num_keys=1)
+    key_s = sorted_ops[0]
+    mask_s = sorted_ops[1].astype(bool)
+    xyz_s = jnp.stack(sorted_ops[2:5], axis=-1)
+    extra_s = (
+        jnp.stack(sorted_ops[5 : 5 + n_extra], axis=-1) if extra is not None else None
+    )
+
+    prev_same = jnp.concatenate([jnp.array([False]), key_s[1:] == key_s[:-1]])
+    new_voxel = (~prev_same) & mask_s
+
+    # Windowed prefix sums along the sorted order (stop at segment bounds).
+    sn = jnp.concatenate(
+        [(key_s[1:] == key_s[:-1]) & mask_s[1:], jnp.zeros((1,), bool)]
+    )  # sn[i]: i+1 continues i's segment
+    sn_p = jnp.concatenate([sn, jnp.zeros((MEAN_WINDOW,), bool)])
+
+    def windowed(vals):  # [n, d] masked-zeroed
+        acc = vals
+        run = jnp.ones((n,), bool)
+        cnt = jnp.ones((n,), jnp.float32)
+        for w in range(1, MEAN_WINDOW):
+            run = run & sn_p[w - 1 : w - 1 + n]
+            shifted = jnp.concatenate(
+                [vals[w:], jnp.zeros((w, vals.shape[1]), vals.dtype)]
+            )
+            acc = acc + jnp.where(run[:, None], shifted, 0.0)
+            cnt = cnt + run.astype(jnp.float32)
+        return acc, cnt
+
+    vals = jnp.where(mask_s[:, None], xyz_s, 0.0)
+    acc, cnt = windowed(vals)
+
+    pos = np.arange(n, dtype=np.int32)
+    start_pos = jnp.argsort(jnp.where(new_voxel, pos, n + pos))[:capacity]
+    sp_c = jnp.minimum(start_pos, n - 1)
+    is_real = new_voxel[sp_c] & (start_pos < n)
+    cnt_g = jnp.maximum(cnt[sp_c], 1.0)[:, None]
+    out_xyz = acc[sp_c] / cnt_g
+    out_extra = None
+    if extra is not None:
+        eacc, _ = windowed(jnp.where(mask_s[:, None], extra_s, 0.0))
+        out_extra = eacc[sp_c] / cnt_g
+    return out_xyz, is_real, out_extra
 
 
 # ---------------------------------------------------------------------------

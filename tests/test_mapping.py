@@ -17,7 +17,7 @@ def _small_cfg():
     return cfg.replace(
         mapping=dataclasses.replace(
             cfg.mapping,
-            grid_xy=32,
+            cell_size=4.0, grid_xy=32, corner_cell_cap=32, surf_cell_cap=64,
             grid_z=8,
             max_corner_input=2048,
             max_surf_input=8192,

@@ -18,7 +18,8 @@ def _e2e_cfg():
         sensor=dataclasses.replace(cfg.sensor, minimum_range=1.0),
         mapping=dataclasses.replace(
             cfg.mapping,
-            grid_xy=32, grid_z=8,
+            cell_size=4.0, grid_xy=32, grid_z=8,
+            corner_cell_cap=32, surf_cell_cap=64,
             max_corner_input=2048, max_surf_input=8192,
         ),
         scancontext=dataclasses.replace(

@@ -17,7 +17,8 @@ def test_save_and_resume(tmp_path):
     cfg = cfg.replace(
         sensor=dataclasses.replace(cfg.sensor, minimum_range=1.0),
         mapping=dataclasses.replace(
-            cfg.mapping, grid_xy=32, grid_z=8,
+            cfg.mapping, cell_size=4.0, grid_xy=32, grid_z=8,
+            corner_cell_cap=32, surf_cell_cap=64,
             max_corner_input=2048, max_surf_input=8192,
         ),
         pgo=dataclasses.replace(cfg.pgo, keyframe_meter_gap=1.0,

@@ -72,3 +72,22 @@ def test_compact(rng):
     m, v = voxel.compact(jnp.array(mask), 4, jnp.array(vals))
     assert np.asarray(m).tolist() == [True, True, True, False]
     assert np.asarray(v)[:3, 0].tolist() == [1.0, 3.0, 4.0]
+
+
+def test_packed_voxel_matches_generic(rng):
+    pts = rng.uniform(-50, 50, size=(5000, 3)).astype(np.float32)
+    mask = np.ones(5000, bool)
+    mask[4800:] = False
+    g_xyz, g_mask, _ = voxel.voxel_downsample(
+        jnp.array(pts), jnp.array(mask), 0.5, capacity=8192
+    )
+    p_xyz, p_mask, _ = voxel.voxel_downsample_packed(
+        jnp.array(pts), jnp.array(mask), 0.5, capacity=8192,
+        xy_bits=10, z_bits=9,
+    )
+    a = np.asarray(g_xyz)[np.asarray(g_mask)]
+    b = np.asarray(p_xyz)[np.asarray(p_mask)]
+    assert len(a) == len(b)
+    np.testing.assert_allclose(
+        a[np.lexsort(a.T)], b[np.lexsort(b.T)], atol=1e-5
+    )
