@@ -137,6 +137,17 @@ class LoopClosureConfig:
     fitness_threshold: float = 0.3  # accept loop if fitness score < 0.3 (:531)
     max_submap_points: int = 65536
     max_source_points: int = 8192
+    # Two-stage verification: coarse brute-force ICP on subsampled clouds
+    # (wide basin), then grid-accelerated fine ICP (ops/icp.py
+    # icp_point2point_grid) with the submap in a torus grid.
+    coarse_source_points: int = 2048
+    coarse_target_points: int = 8192
+    coarse_iterations: int = 10
+    icp_cell_size: float = 2.0
+    icp_reach: float = 2.0
+    icp_grid_xy: int = 64
+    icp_grid_z: int = 32
+    icp_cell_cap: int = 32
 
 
 @dataclasses.dataclass(frozen=True)

@@ -35,7 +35,7 @@ from scaloam_tpu.models import mapping as mapping_mod
 from scaloam_tpu.models import odometry as odometry_mod
 from scaloam_tpu.models import posegraph as pg
 from scaloam_tpu.models import scancontext as scm
-from scaloam_tpu.ops import features, icp, se3, voxel
+from scaloam_tpu.ops import features, gridmap, icp, se3, voxel
 from scaloam_tpu.types import LidarScan, Pose
 
 
@@ -253,14 +253,30 @@ class SlamSystem:
         if len(submap) < 100:
             return None
 
-        # Downsample submap (downSizeFilterICP 0.4, :491-492) + pad. The
-        # source scan lives near the loop-local origin, so overflow voxels
-        # are dropped farthest-first.
-        sub_xyz, sub_mask, _ = voxel.voxel_downsample(
-            jnp.asarray(submap), jnp.ones(len(submap), bool),
+        # Downsample submap (downSizeFilterICP 0.4, :491-492), then load it
+        # into a torus grid for fast NN during ICP.
+        cap = lcfg.max_submap_points
+        if len(submap) > cap:
+            sel = np.linspace(0, len(submap) - 1, cap).astype(int)
+            submap = submap[sel]
+        pad = np.zeros((cap, 3), np.float32)
+        pad[: len(submap)] = submap
+        pmask = np.zeros(cap, bool)
+        pmask[: len(submap)] = True
+        sub_xyz, sub_mask, _ = voxel.voxel_downsample_packed(
+            jnp.asarray(pad), jnp.asarray(pmask),
             self.cfg.pgo.keyframe_voxel_size,
             capacity=lcfg.max_submap_points,
-            priority_center=jnp.zeros(3, jnp.float32),
+            xy_bits=10, z_bits=9,
+        )
+        sub_grid = gridmap.insert(
+            gridmap.init_grid(
+                lcfg.icp_grid_xy * lcfg.icp_grid_xy * lcfg.icp_grid_z,
+                lcfg.icp_cell_cap,
+            ),
+            sub_xyz, sub_mask,
+            lcfg.icp_grid_xy, lcfg.icp_grid_xy, lcfg.icp_grid_z,
+            lcfg.icp_cell_size, self.cfg.pgo.keyframe_voxel_size,
         )
 
         src = self.keyframes[curr].cloud
@@ -282,10 +298,30 @@ class SlamSystem:
             se3.exp_so3(jnp.array([0.0, 0.0, -yaw], jnp.float32)),
             jnp.zeros(3, jnp.float32),
         )
-        res = icp.icp_point2point(
-            jnp.asarray(src_xyz), jnp.asarray(src_mask), sub_xyz, sub_mask,
+        # Stage 1 (coarse, wide basin): brute-force ICP on subsampled clouds.
+        def _sub(a, cap_):
+            if len(a) > cap_:
+                a = a[np.linspace(0, len(a) - 1, cap_).astype(int)]
+            out = np.zeros((cap_, 3), np.float32)
+            out[: len(a)] = a
+            m = np.zeros(cap_, bool)
+            m[: len(a)] = True
+            return out, m
+
+        c_src, c_src_m = _sub(src, lcfg.coarse_source_points)
+        c_tgt, c_tgt_m = _sub(submap, lcfg.coarse_target_points)
+        coarse = icp.icp_point2point(
+            jnp.asarray(c_src), jnp.asarray(c_src_m),
+            jnp.asarray(c_tgt), jnp.asarray(c_tgt_m),
             init, max_corr_dist=lcfg.icp_max_corr_dist,
-            iterations=lcfg.icp_max_iterations,
+            iterations=lcfg.coarse_iterations,
+        )
+        # Stage 2 (fine): grid-accelerated ICP at full submap density.
+        res = icp.icp_point2point_grid(
+            jnp.asarray(src_xyz), jnp.asarray(src_mask), sub_grid,
+            lcfg.icp_grid_xy, lcfg.icp_grid_xy, lcfg.icp_grid_z,
+            lcfg.icp_cell_size, lcfg.icp_reach,
+            coarse.transform, iterations=lcfg.icp_max_iterations,
         )
         if not bool(res.converged) or float(res.fitness) > lcfg.fitness_threshold:
             return None

@@ -133,18 +133,26 @@ def knn_grid(
     farther than reach may be missed — callers gate at reach anyway, like
     the reference's sqDis[4] < 1.0 checks).
 
-    Requires cell_size >= 2 * reach... no: requires reach <= cell_size so
-    the 2x2x2 neighbor block covers [q-reach, q+reach]. Returns
-    (d2 [Q, k], xyz [Q, k, 3])."""
-    assert reach <= cell_size
+    Coverage: [q-reach, q+reach] touches at most 2 cells per axis when
+    2*reach <= cell_size (the 2x2x2 block), at most 3 when
+    2*reach <= 2*cell_size (the 3x3x3 block). The block size is chosen
+    accordingly. Returns (d2 [Q, k], xyz [Q, k, 3])."""
+    assert reach <= cell_size, "coverage needs 2*reach <= 2*cell_size"
     K = grid.pts.shape[1]
     lo = jnp.floor((query - reach) / cell_size).astype(jnp.int32)
     hi = jnp.floor((query + reach) / cell_size).astype(jnp.int32)
-    # 8 candidate cells per query: each axis picks lo or hi.
-    combos = np.array(
-        [[a, b, c] for a in (0, 1) for b in (0, 1) for c in (0, 1)]
-    )  # [8, 3]
-    cc8 = jnp.where(combos[None, :, :] > 0, hi[:, None, :], lo[:, None, :])
+    if 2 * reach <= cell_size:
+        # 8 candidate cells per query: each axis picks lo or hi.
+        combos = np.array(
+            [[a, b, c] for a in (0, 1) for b in (0, 1) for c in (0, 1)]
+        )  # [8, 3]
+        cc8 = jnp.where(combos[None, :, :] > 0, hi[:, None, :], lo[:, None, :])
+    else:
+        # 27 cells: lo + {0,1,2} per axis (hi <= lo+2 guaranteed above).
+        combos = np.array(
+            [[a, b, c] for a in (0, 1, 2) for b in (0, 1, 2) for c in (0, 1, 2)]
+        )  # [27, 3]
+        cc8 = lo[:, None, :] + combos[None, :, :]
     idx8 = _flat_idx(cc8, gx, gy, gz)  # [Q, 8]
     valid_cell = jnp.all(grid.cell_coord[idx8] == cc8, axis=-1)  # [Q, 8]
     cand = grid.pts[idx8]  # [Q, 8, K, 3]
