@@ -46,6 +46,7 @@ class FeatureConfig:
     neighbor_suppress_radius: int = 5  # +-5 point suppression
     neighbor_suppress_gap_sq: float = 0.05  # stop suppression at range jumps
     less_flat_voxel_size: float = 0.2  # VoxelGrid leaf on less-flat cloud
+    use_pallas_selection: str = "auto"  # "auto" (TPU only) | "on" | "off"
     # Feature cloud capacities (fixed shapes).
     max_sharp: int = 1024
     max_less_sharp: int = 8192
@@ -167,11 +168,13 @@ class PGOConfig:
     gps_z_variance: float = 250.0  # altitude-only GPS factor
     gps_time_tolerance: float = 0.1  # odom-GPS association window (:581-594)
     # Batch GN solver (replaces iSAM2; 1 Hz cadence per reference :791-808).
-    gn_iterations: int = 8
+    # Warm-started solves accumulate across ticks, so few iterations per
+    # tick at a keyframe-level cadence matches iSAM2's incremental behavior.
+    gn_iterations: int = 3
     lm_damping: float = 1e-6
     max_keyframes: int = 4096
     max_loops: int = 512
-    optimize_every_n_keyframes: int = 1  # solve cadence in sync driver
+    optimize_every_n_keyframes: int = 2  # solve cadence in sync driver
 
 
 @dataclasses.dataclass(frozen=True)

@@ -246,6 +246,29 @@ def extract_features(scan: LidarScan, cfg: SlamConfig) -> ScanFeatures:
     # semantic difference is that a pick's +-5 suppression band reaches an
     # adjacent subregion one pick-step later — a boundary-only effect).
     eligible = (jj >= 5) & (jj <= (4 + L)[:, None]) & ring_sel_ok[:, None]
+
+    use_pallas = feat.use_pallas_selection == "on" or (
+        feat.use_pallas_selection == "auto" and jax.default_backend() == "tpu"
+    )
+    if use_pallas:
+        from scaloam_tpu.ops.pallas import selection as psel
+
+        corner_idx, corner_ok, flat_idx, flat_ok, labels = psel.select_features(
+            curv, left_ext, right_ext, eligible,
+            sp.astype(jnp.int32), ep.astype(jnp.int32),
+            n_sub=NSUB,
+            n_corner=feat.less_sharp_per_subregion,
+            n_flat=feat.flat_per_subregion,
+            curv_thr=feat.curvature_threshold,
+        )
+        n_sharp = feat.sharp_per_subregion
+        n_corner = feat.less_sharp_per_subregion
+        n_flat = feat.flat_per_subregion
+        return _assemble_outputs(
+            cfg, ri, img, count, corner_idx, corner_ok, flat_idx, flat_ok,
+            labels, ring_sel_ok, jj, n_sharp,
+        )
+
     # membership masks per subregion: sp_s <= j <= ep_s
     sub_masks = [
         (jj >= sp[:, s, None]) & (jj <= ep[:, s, None]) for s in range(NSUB)
@@ -312,6 +335,16 @@ def extract_features(scan: LidarScan, cfg: SlamConfig) -> ScanFeatures:
         .max(corner_ok.reshape(-1))
     )
 
+    return _assemble_outputs(
+        cfg, ri, img, count, corner_idx, corner_ok, flat_idx, flat_ok,
+        labels, ring_sel_ok, jj, n_sharp,
+    )
+
+
+def _assemble_outputs(cfg, ri, img, count, corner_idx, corner_ok,
+                      flat_idx, flat_ok, labels, ring_sel_ok, jj, n_sharp):
+    feat = cfg.features
+    S, W = img.shape[0], img.shape[1]
     rows3 = jnp.arange(S)[:, None, None]
 
     def to_cloud(idx, ok, capacity, first_k=None):

@@ -31,6 +31,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mulran-dir", help="MulRan sequence dir")
     p.add_argument("--synthetic", type=int, default=0,
                    help="run N synthetic frames instead of a dataset")
+    p.add_argument("--synthetic-radius", type=float, default=30.0,
+                   help="synthetic circle radius (2*pi*r frames close the loop)")
     p.add_argument("--out", help="artifact output directory")
     p.add_argument("--max-frames", type=int, default=None)
     p.add_argument("--use-gps", action="store_true",
@@ -87,8 +89,8 @@ def main(argv=None) -> int:
 
         world = synthetic.make_world(seed=0, n_boxes=60, extent=70.0)
         scans, gt = synthetic.simulate_trajectory(
-            world, n_frames=args.synthetic, speed=1.0, radius=30.0,
-            n_azimuth=1024,
+            world, n_frames=args.synthetic, speed=1.0,
+            radius=args.synthetic_radius, n_azimuth=1024,
         )
         frames = ((0.1 * i, s) for i, s in enumerate(scans))
         gt_poses = gt
