@@ -17,7 +17,6 @@ capacity) fix every device array shape so the whole pipeline compiles once.
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
 
 
 @dataclasses.dataclass(frozen=True)

@@ -20,7 +20,7 @@ batched gather + einsum and then masks to the reference's search window.
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

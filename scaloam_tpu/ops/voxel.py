@@ -19,7 +19,7 @@ Design notes (SURVEY.md §7):
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Optional, Tuple
+from typing import Optional, Tuple
 
 import jax
 import numpy as np

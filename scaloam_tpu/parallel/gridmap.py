@@ -11,7 +11,6 @@ single-device knn_grid.
 
 from __future__ import annotations
 
-import functools
 from typing import Tuple
 
 import jax

@@ -11,9 +11,6 @@ communication is one psum of [N, 6] (+[N, 6, 6] once per linearization).
 
 from __future__ import annotations
 
-import functools
-from typing import NamedTuple
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P

@@ -11,7 +11,6 @@ quality is strictly >= the reference's.
 
 from __future__ import annotations
 
-import functools
 from typing import Tuple
 
 import jax

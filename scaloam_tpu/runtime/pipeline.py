@@ -27,7 +27,7 @@ from scaloam_tpu.config import SlamConfig
 from scaloam_tpu.models import mapping as mapping_mod
 from scaloam_tpu.models import odometry as odometry_mod
 from scaloam_tpu.models.pipeline import SlamSystem
-from scaloam_tpu.ops import features, se3
+from scaloam_tpu.ops import features
 from scaloam_tpu.runtime.queues import BoundedQueue
 from scaloam_tpu.types import LidarScan
 
