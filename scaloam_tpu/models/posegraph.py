@@ -250,33 +250,64 @@ def _sanitize(f: _FactorData) -> _FactorData:
     )
 
 
+def _shift_down(x: jax.Array) -> jax.Array:
+    """out[k+1] = x[k] (factor k's j-side lands on node k+1). Chain
+    scatter without a scatter — duplicate-index scatter-adds serialize
+    on TPU, but the odometry chain's indices are structured."""
+    return jnp.concatenate([jnp.zeros_like(x[:1]), x[:-1]], axis=0)
+
+
+def _shift_up(x: jax.Array) -> jax.Array:
+    """out[k] = x[k+1] (gather node k+1's value into factor k's slot)."""
+    return jnp.concatenate([x[1:], jnp.zeros_like(x[:1])], axis=0)
+
+
 def _gradient_and_diag(factors, N: int):
-    """g = sum A^T W r and block-diagonal of H, per node."""
-    g = jnp.zeros((N, 6))
-    D = jnp.zeros((N, 6, 6))
-    for f in factors:
-        Wr = f.W * f.r
-        gi = jnp.einsum("frc,fr->fc", f.Ji, Wr)
-        gj = jnp.einsum("frc,fr->fc", f.Jj, Wr)
-        g = g.at[f.i].add(gi)
-        g = g.at[f.j].add(gj)
-        Di = jnp.einsum("fri,fr,frj->fij", f.Ji, f.W, f.Ji)
-        Dj = jnp.einsum("fri,fr,frj->fij", f.Jj, f.W, f.Jj)
-        D = D.at[f.i].add(Di)
-        D = D.at[f.j].add(Dj)
+    """g = sum A^T W r and block-diagonal of H, per node.
+
+    factors = [odom (chain k->k+1, slot k), loops (arbitrary, few), gps
+    (diagonal, slot k)] — only the loops need a true scatter."""
+    odom, loops, gps = factors
+    Wr_o = odom.W * odom.r
+    g = jnp.einsum("frc,fr->fc", odom.Ji, Wr_o)
+    g = g + _shift_down(jnp.einsum("frc,fr->fc", odom.Jj, Wr_o))
+    D = jnp.einsum("fri,fr,frj->fij", odom.Ji, odom.W, odom.Ji)
+    D = D + _shift_down(jnp.einsum("fri,fr,frj->fij", odom.Jj, odom.W, odom.Jj))
+
+    Wr_g = gps.W * gps.r
+    g = g + jnp.einsum("frc,fr->fc", gps.Ji, Wr_g)
+    D = D + jnp.einsum("fri,fr,frj->fij", gps.Ji, gps.W, gps.Ji)
+
+    Wr_l = loops.W * loops.r
+    g = g.at[loops.i].add(jnp.einsum("frc,fr->fc", loops.Ji, Wr_l))
+    g = g.at[loops.j].add(jnp.einsum("frc,fr->fc", loops.Jj, Wr_l))
+    D = D.at[loops.i].add(jnp.einsum("fri,fr,frj->fij", loops.Ji, loops.W, loops.Ji))
+    D = D.at[loops.j].add(jnp.einsum("fri,fr,frj->fij", loops.Jj, loops.W, loops.Jj))
     return g, D
 
 
 def _hess_matvec(factors, v: jax.Array, damping_diag: jax.Array) -> jax.Array:
-    """H v without materializing H: per-factor A v -> W -> A^T scatter."""
+    """H v without materializing H. Chain/diagonal factors use shift-adds;
+    only loop factors scatter (few hundred rows)."""
+    odom, loops, gps = factors
     out = damping_diag * v
-    for f in factors:
-        Av = jnp.einsum("frc,fc->fr", f.Ji, v[f.i]) + jnp.einsum(
-            "frc,fc->fr", f.Jj, v[f.j]
-        )
-        WAv = f.W * Av
-        out = out.at[f.i].add(jnp.einsum("frc,fr->fc", f.Ji, WAv))
-        out = out.at[f.j].add(jnp.einsum("frc,fr->fc", f.Jj, WAv))
+
+    Av = jnp.einsum("frc,fc->fr", odom.Ji, v) + jnp.einsum(
+        "frc,fc->fr", odom.Jj, _shift_up(v)
+    )
+    WAv = odom.W * Av
+    out = out + jnp.einsum("frc,fr->fc", odom.Ji, WAv)
+    out = out + _shift_down(jnp.einsum("frc,fr->fc", odom.Jj, WAv))
+
+    Avg = jnp.einsum("frc,fc->fr", gps.Ji, v)
+    out = out + jnp.einsum("frc,fr->fc", gps.Ji, gps.W * Avg)
+
+    Avl = jnp.einsum("frc,fc->fr", loops.Ji, v[loops.i]) + jnp.einsum(
+        "frc,fc->fr", loops.Jj, v[loops.j]
+    )
+    WAvl = loops.W * Avl
+    out = out.at[loops.i].add(jnp.einsum("frc,fr->fc", loops.Ji, WAvl))
+    out = out.at[loops.j].add(jnp.einsum("frc,fr->fc", loops.Jj, WAvl))
     return out
 
 
