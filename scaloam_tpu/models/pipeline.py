@@ -50,6 +50,7 @@ class FrameResult(NamedTuple):
 class Keyframe(NamedTuple):
     cloud: np.ndarray  # [P, 3] local frame, 0.4 m downsampled
     time: float
+    frame: int = -1  # source scan index (for GT association in evaluation)
 
 
 def _np_pose(p: Pose) -> Pose:
@@ -188,7 +189,9 @@ class SlamSystem:
             xy_bits=10, z_bits=9,
         )
         kf_np = np.asarray(kf_xyz)[np.asarray(kf_mask)]
-        self.keyframes.append(Keyframe(cloud=kf_np, time=time))
+        self.keyframes.append(
+            Keyframe(cloud=kf_np, time=time, frame=self.frame_idx)
+        )
         self.kf_times.append(time)
 
         # ScanContext on the downsampled cloud (:639).

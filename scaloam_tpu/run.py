@@ -141,10 +141,14 @@ def main(argv=None) -> int:
         odom = sys_.odometry_keyframe_poses()
         gt0 = np.linalg.inv(gt_poses[0])
         gt_rel = np.stack([gt0 @ g for g in gt_poses])
+        # Associate by the keyframe's source-scan index (its `frame` field);
+        # resumed sessions without one fall back to nearest-position.
         kf_frames = [
-            int(np.argmin(np.linalg.norm(
-                gt_rel[:, :3, 3] - odom[k, :3, 3], axis=-1)))
-            for k in range(len(sys_.keyframes))
+            kf.frame if 0 <= kf.frame < len(gt_rel) else int(
+                np.argmin(np.linalg.norm(
+                    gt_rel[:, :3, 3] - odom[k, :3, 3], axis=-1))
+            )
+            for k, kf in enumerate(sys_.keyframes)
         ]
         gt_kf = gt_rel[kf_frames]
         result["ate_rmse_optimized"] = round(ate_rmse(est, gt_kf), 4)

@@ -87,7 +87,7 @@ def simulate_scan(
     t = np.minimum(t_box, t_ground)
     hit = np.isfinite(t) & (t < max_range) & (t > 0.5)
     t = np.where(np.isfinite(t), t + rng.normal(0.0, noise, size=t.shape), np.inf)
-    pts = (d_sensor * t[:, None])[hit]
+    pts = d_sensor[hit] * t[hit, None]  # index first: inf * 0 rows are misses
     return pts.astype(np.float32)
 
 
