@@ -102,8 +102,12 @@ class MappingConfig:
     surf_cell_cap: int = 16  # (0.8 m dedup in 2 m cells)
     max_corner_map: int = 65536  # flattened-extract capacities (viz/artifacts)
     max_surf_map: int = 131072
-    max_corner_input: int = 4096  # downsampled input capacities
-    max_surf_input: int = 16384
+    # Downsampled input capacities. Measured: KITTI-density HDL-64 scans
+    # produce ~1.8k corner / ~5k surf inputs after the 0.4/0.8 m filters
+    # (A-LOAM sees the same); the knn_grid gather cost scales linearly with
+    # these, so they are sized with ~1.6x headroom rather than defensively.
+    max_corner_input: int = 2560
+    max_surf_input: int = 8192
 
 
 @dataclasses.dataclass(frozen=True)
@@ -213,18 +217,31 @@ def _preset(sensor: SensorConfig, sc_dist: float, kf_gap: float) -> SlamConfig:
 
 
 def kitti_hdl64() -> SlamConfig:
-    """launch/aloam_velodyne_HDL_64.launch: min_range 5, sc_dist 0.4, kf gap 2 m."""
+    """launch/aloam_velodyne_HDL_64.launch: min_range 5, sc_dist 0.4, kf gap 2 m.
+
+    Range-image width 2304: a real HDL-64 emits ~2100-2200 returns per ring
+    per 10 Hz revolution, so 2304 (18 x 128 lanes) covers it — the [rings,
+    width] kernels (curvature, suppression, greedy selection) scale with
+    this, so no 4096 default padding."""
     return _preset(
-        SensorConfig(lidar_type="HDL64", n_scans=64, minimum_range=5.0),
+        SensorConfig(
+            lidar_type="HDL64", n_scans=64, minimum_range=5.0,
+            max_points_per_ring=2304,
+        ),
         sc_dist=0.4,
         kf_gap=2.0,
     )
 
 
 def mulran_os1_64() -> SlamConfig:
-    """launch/aloam_mulran.launch: OS1-64, min_range 0.5, sc_dist 0.2, kf gap 1 m."""
+    """launch/aloam_mulran.launch: OS1-64, min_range 0.5, sc_dist 0.2, kf gap 1 m.
+
+    The OS1-64 fires exactly 1024 or 2048 azimuth columns per revolution."""
     return _preset(
-        SensorConfig(lidar_type="OS1-64", n_scans=64, minimum_range=0.5),
+        SensorConfig(
+            lidar_type="OS1-64", n_scans=64, minimum_range=0.5,
+            max_points_per_ring=2048,
+        ),
         sc_dist=0.2,
         kf_gap=1.0,
     )

@@ -121,36 +121,54 @@ def build_range_image(
     n_scans: int, width: int,
 ) -> RangeImage:
     """Bucket stream-ordered points into [n_scans, width], preserving order
-    (the reference's per-ring push_back, src/scanRegistration.cpp:253)."""
+    (the reference's per-ring push_back, src/scanRegistration.cpp:253).
+
+    TPU shape: ONE stable multi-operand sort carries all payloads (argsort +
+    permutation gathers each re-lower to another sort on TPU), per-ring
+    positions come from sorted-run arithmetic (no duplicate-index
+    segment_sum — those serialize), and everything lands in the image with
+    a single packed unique-index scatter."""
     n = xyz.shape[0]
     key = jnp.where(valid, ring, n_scans)
-    order = jnp.argsort(key, stable=True)
-    ring_s = key[order]
-    full_counts = jax.ops.segment_sum(
-        jnp.ones((n,), jnp.int32), ring_s, num_segments=n_scans + 1
-    )[:n_scans]
-    counts = jnp.minimum(full_counts, width)
-    full_starts = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), jnp.cumsum(full_counts)]
-    )[:-1]
-    # position within ring = sorted position - ring start
-    sorted_pos = jnp.arange(n)
-    ring_of = jnp.minimum(ring_s, n_scans - 1)
-    pos = sorted_pos - full_starts[ring_of]
-    ok = (ring_s < n_scans) & (pos < width)
-    row = jnp.where(ok, ring_s, n_scans)
-    col = jnp.where(ok, pos, 0)
+    ops = jax.lax.sort(
+        [key, xyz[:, 0], xyz[:, 1], xyz[:, 2], rel_time],
+        num_keys=1, is_stable=True,
+    )
+    ring_s = ops[0]
+    iota = jnp.arange(n, dtype=jnp.int32)
 
-    img = jnp.zeros((n_scans + 1, width, 3), jnp.float32).at[row, col].set(
-        xyz[order], mode="drop"
+    # Position within ring = offset from the ring's first sorted element.
+    new_seg = jnp.concatenate(
+        [jnp.ones((1,), bool), ring_s[1:] != ring_s[:-1]]
+    )
+    seg_start = jax.lax.cummax(jnp.where(new_seg, iota, 0))
+    pos = iota - seg_start
+
+    # Per-ring counts by compare-reduce (65 x n, vectorized — no scatter).
+    counts_full = jnp.sum(
+        ring_s[None, :] == jnp.arange(n_scans, dtype=jnp.int32)[:, None],
+        axis=-1, dtype=jnp.int32,
+    )
+    counts = jnp.minimum(counts_full, width)
+
+    ok = (ring_s < n_scans) & (pos < width)
+    # Invalid rows go out of bounds -> dropped (no duplicate-index pile-up).
+    row = jnp.where(ok, ring_s, n_scans)
+    col = jnp.where(ok, pos, width)
+
+    # key == n_scans marks invalid points, so ok already implies validity.
+    packed = jnp.stack(
+        [ops[1], ops[2], ops[3], ops[4], ok.astype(jnp.float32)], axis=-1
+    )  # [n, 5] = x, y, z, rel_time, mask
+    grid = jnp.zeros((n_scans + 1, width, 5), jnp.float32).at[row, col].set(
+        packed, mode="drop"
     )[:n_scans]
-    msk = jnp.zeros((n_scans + 1, width), bool).at[row, col].set(
-        ok, mode="drop"
-    )[:n_scans]
-    rt = jnp.zeros((n_scans + 1, width), jnp.float32).at[row, col].set(
-        rel_time[order], mode="drop"
-    )[:n_scans]
-    return RangeImage(xyz=img, mask=msk, rel_time=rt, count=counts)
+    return RangeImage(
+        xyz=grid[:, :, :3],
+        mask=grid[:, :, 4] > 0,
+        rel_time=grid[:, :, 3],
+        count=counts,
+    )
 
 
 # ---------------------------------------------------------------------------

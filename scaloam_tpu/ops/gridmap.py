@@ -39,9 +39,16 @@ class GridMap(NamedTuple):
     total: jax.Array  # int32: total valid points (cheap density guard)
 
 
+_FAR = 1e9  # sentinel position for empty point slots (see knn_grid)
+
+
 def init_grid(n_cells: int, cap: int) -> GridMap:
+    # Point slots start at a far sentinel so knn_grid needs NO validity
+    # masks: an unwritten slot is ~1e9 m away, a lazily-evicted stale point
+    # is at least one torus period (grid extent, >= 64 m) away — both are
+    # excluded by any sane `reach` purely through their distance.
     return GridMap(
-        pts=jnp.zeros((n_cells, cap, 3), jnp.float32),
+        pts=jnp.full((n_cells, cap, 3), _FAR, jnp.float32),
         count=jnp.zeros((n_cells,), jnp.int32),
         cell_coord=jnp.full((n_cells, 3), jnp.int32(2**30)),
         total=jnp.array(0, jnp.int32),
@@ -96,9 +103,6 @@ def insert(
     pos = base + rank
     ok = want & (pos < K)
     write_idx = jnp.where(ok, idx, grid.pts.shape[0])
-    pts = grid.pts.at[write_idx, jnp.where(ok, pos, 0)].set(
-        xyz, mode="drop"
-    )
 
     # Update counts + stored coords for touched cells.
     touched_add = jax.ops.segment_sum(
@@ -108,6 +112,15 @@ def insert(
         (mask & ~fresh).astype(jnp.int32), jnp.where(mask, idx, grid.pts.shape[0]),
         num_segments=grid.pts.shape[0] + 1,
     )[:-1]
+
+    # Reset cells are cleared to the far sentinel BEFORE the new points land:
+    # knn_grid has no validity masks, so a reset cell's leftover slots must
+    # not hold the previous epoch's points (they could be near again after a
+    # revisit). One elementwise full-map select — cheap, no scatter.
+    base_pts = jnp.where((reset > 0)[:, None, None], _FAR, grid.pts)
+    pts = base_pts.at[write_idx, jnp.where(ok, pos, 0)].set(
+        xyz, mode="drop"
+    )
     new_count = jnp.minimum(
         jnp.where(reset > 0, touched_add, grid.count + touched_add), K
     )
@@ -136,9 +149,15 @@ def knn_grid(
     Coverage: [q-reach, q+reach] touches at most 2 cells per axis when
     2*reach <= cell_size (the 2x2x2 block), at most 3 when
     2*reach <= 2*cell_size (the 3x3x3 block). The block size is chosen
-    accordingly. Returns (d2 [Q, k], xyz [Q, k, 3])."""
+    accordingly. Returns (d2 [Q, k], xyz [Q, k, 3]).
+
+    Validity needs no masks (and so no count/cell-coord gathers): empty
+    slots sit at the far sentinel and stale points are >= one torus period
+    away, so their distances exceed any reach-gated threshold by
+    construction (requires reach << grid extent; see init_grid)."""
     assert reach <= cell_size, "coverage needs 2*reach <= 2*cell_size"
-    K = grid.pts.shape[1]
+    min_period = min(gx, gy, gz) * cell_size
+    assert reach <= min_period / 4, "reach too close to the torus period"
     lo = jnp.floor((query - reach) / cell_size).astype(jnp.int32)
     hi = jnp.floor((query + reach) / cell_size).astype(jnp.int32)
     if 2 * reach <= cell_size:
@@ -154,13 +173,9 @@ def knn_grid(
         )  # [27, 3]
         cc8 = lo[:, None, :] + combos[None, :, :]
     idx8 = _flat_idx(cc8, gx, gy, gz)  # [Q, 8]
-    valid_cell = jnp.all(grid.cell_coord[idx8] == cc8, axis=-1)  # [Q, 8]
     cand = grid.pts[idx8]  # [Q, 8, K, 3]
-    cnt = grid.count[idx8]  # [Q, 8]
-    ent = np.arange(K)[None, None, :]
-    cmask = valid_cell[:, :, None] & (ent < cnt[:, :, None])  # [Q, 8, K]
     d2 = jnp.sum((cand - query[:, None, None, :]) ** 2, axis=-1)
-    d2 = jnp.where(cmask, d2, _BIG).reshape(query.shape[0], -1)
+    d2 = d2.reshape(query.shape[0], -1)
     negd, j = jax.lax.top_k(-d2, k)
     nn = jnp.take_along_axis(
         cand.reshape(query.shape[0], -1, 3), j[:, :, None], axis=1

@@ -44,7 +44,7 @@ def knn_grid_sharded(
         [[a, b, c] for a in (0, 1) for b in (0, 1) for c in (0, 1)]
     )
 
-    def local(pts, count, cell_coord, q, qm):
+    def local(pts, q, qm):
         me = jax.lax.axis_index(KF_AXIS)
         base = me * slab
         lo = jnp.floor((q - reach) / cell_size).astype(jnp.int32)
@@ -53,13 +53,13 @@ def knn_grid_sharded(
         idx8 = _flat_idx(cc8, gx, gy, gz)  # [Q, 8] global cell ids
         mine = (idx8 >= base) & (idx8 < base + slab)
         loc = jnp.clip(idx8 - base, 0, slab - 1)
-        valid_cell = mine & jnp.all(cell_coord[loc] == cc8, axis=-1)
+        # Empty/stale slots hold the far sentinel (ops.gridmap.init_grid),
+        # so only the ownership mask is needed: a clipped non-owned index
+        # would alias another cell's REAL points, everything else is
+        # excluded by distance alone.
         cand = pts[loc]  # [Q, 8, K, 3]
-        cnt = count[loc]
-        ent = np.arange(K)[None, None, :]
-        cmask = valid_cell[:, :, None] & (ent < cnt[:, :, None])
         d2 = jnp.sum((cand - q[:, None, None, :]) ** 2, axis=-1)
-        d2 = jnp.where(cmask, d2, _BIG).reshape(q.shape[0], -1)
+        d2 = jnp.where(mine[:, :, None], d2, _BIG).reshape(q.shape[0], -1)
         negd, j = jax.lax.top_k(-d2, k)
         nn_local = jnp.take_along_axis(
             cand.reshape(q.shape[0], -1, 3), j[:, :, None], axis=1
@@ -78,7 +78,7 @@ def knn_grid_sharded(
     return jax.shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(KF_AXIS), P(KF_AXIS), P(KF_AXIS), P(), P()),
+        in_specs=(P(KF_AXIS), P(), P()),
         out_specs=(P(), P()),
         check_vma=False,
-    )(grid.pts, grid.count, grid.cell_coord, query, query_mask)
+    )(grid.pts, query, query_mask)

@@ -62,8 +62,16 @@ def simulate_scan(
     """One revolution; returns [M, 3] float32 points in sensor frame,
     azimuth-major stream order, misses dropped."""
     rng = np.random.default_rng(seed)
-    # HDL-64-ish elevation ladder: +2 .. -24.33 deg.
-    elev = np.deg2rad(np.linspace(2.0, -24.0, n_scans))
+    if n_scans == 64:
+        # Exact HDL-64 ladder (matches the reference's ring-id mapping,
+        # src/scanRegistration.cpp:195-203): upper block 1/3 deg steps from
+        # +2 deg, lower block 1/2 deg steps from -8.83 deg — each row maps
+        # to a UNIQUE ring id, like the real sensor.
+        upper = 2.0 - np.arange(32) / 3.0
+        lower = -8.83 - np.arange(32) / 2.0
+        elev = np.deg2rad(np.concatenate([upper, lower]))
+    else:
+        elev = np.deg2rad(np.linspace(2.0, -24.0, n_scans))
     azim = np.linspace(-np.pi + 1e-3, np.pi - 1e-3, n_azimuth, endpoint=False)
     # stream order: azimuth outer, ring inner
     a = np.repeat(azim, n_scans)

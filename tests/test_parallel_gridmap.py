@@ -86,4 +86,6 @@ def test_gridmap_staleness_eviction(rng):
         grid, jnp.asarray(p1), jnp.ones(1, bool), GX, GY, GZ, CS,
         reach=1.0, k=1,
     )
-    assert float(d_old[0, 0]) > 1e20  # stale cell not matchable
+    # Stale content is excluded by distance (>= one torus period away —
+    # the far-sentinel contract), far beyond any reach gate.
+    assert float(d_old[0, 0]) >= (0.9 * GX * CS) ** 2
