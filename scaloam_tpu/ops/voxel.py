@@ -158,9 +158,10 @@ def voxel_downsample_packed(
     # One multi-operand sort carrying the payloads (no post-sort random
     # gathers — irregular gathers and duplicate-index scatters are the slow
     # primitives on TPU). Per-voxel centroid = mean of (up to) the first 8
-    # sorted entries, computed with shifted adds on the sorted arrays and a
-    # single unique-index gather at the segment starts. Voxels holding >8
-    # points average their first 8 (rare at sane leafs; bias << leaf size).
+    # sorted entries, computed with a LOG-STEP segmented window scan
+    # (3 shifted adds for window 8, not 7) and a single unique-index gather
+    # at the segment starts. Voxels holding >8 points average their first 8
+    # (rare at sane leafs; bias << leaf size).
     MEAN_WINDOW = 8
     operands = [key, mask.astype(jnp.int32), xyz[:, 0], xyz[:, 1], xyz[:, 2]]
     n_extra = 0
@@ -170,46 +171,43 @@ def voxel_downsample_packed(
     sorted_ops = jax.lax.sort(operands, num_keys=1)
     key_s = sorted_ops[0]
     mask_s = sorted_ops[1].astype(bool)
-    xyz_s = jnp.stack(sorted_ops[2:5], axis=-1)
-    extra_s = (
-        jnp.stack(sorted_ops[5 : 5 + n_extra], axis=-1) if extra is not None else None
-    )
 
     prev_same = jnp.concatenate([jnp.array([False]), key_s[1:] == key_s[:-1]])
     new_voxel = (~prev_same) & mask_s
 
-    # Windowed prefix sums along the sorted order (stop at segment bounds).
+    # Segmented window sum, log-step doubling: after step k,
+    # acc[i] = sum over [i, i+2^k) clipped to i's segment, f[i] = "the whole
+    # [i, i+2^k) window continues i's segment". 3 steps give the
+    # min(segment length, 8)-element window exactly.
+    vals = jnp.stack(sorted_ops[2 : 5 + n_extra], axis=-1)
+    vals = jnp.where(mask_s[:, None], vals, 0.0)
     sn = jnp.concatenate(
         [(key_s[1:] == key_s[:-1]) & mask_s[1:], jnp.zeros((1,), bool)]
     )  # sn[i]: i+1 continues i's segment
-    sn_p = jnp.concatenate([sn, jnp.zeros((MEAN_WINDOW,), bool)])
 
-    def windowed(vals):  # [n, d] masked-zeroed
-        acc = vals
-        run = jnp.ones((n,), bool)
-        cnt = jnp.ones((n,), jnp.float32)
-        for w in range(1, MEAN_WINDOW):
-            run = run & sn_p[w - 1 : w - 1 + n]
-            shifted = jnp.concatenate(
-                [vals[w:], jnp.zeros((w, vals.shape[1]), vals.dtype)]
-            )
-            acc = acc + jnp.where(run[:, None], shifted, 0.0)
-            cnt = cnt + run.astype(jnp.float32)
-        return acc, cnt
+    def shift_up(a, w, fill=0):
+        pad_shape = (w,) + a.shape[1:]
+        return jnp.concatenate([a[w:], jnp.full(pad_shape, fill, a.dtype)])
 
-    vals = jnp.where(mask_s[:, None], xyz_s, 0.0)
-    acc, cnt = windowed(vals)
+    acc = vals
+    cnt = jnp.ones((n,), jnp.float32)
+    f = sn
+    step = 1
+    while step < MEAN_WINDOW:
+        acc = acc + jnp.where(f[:, None], shift_up(acc, step), 0.0)
+        cnt = cnt + jnp.where(f, shift_up(cnt, step), 0.0)
+        if 2 * step < MEAN_WINDOW:
+            f = f & shift_up(f, step, fill=False)
+        step *= 2
 
     pos = np.arange(n, dtype=np.int32)
     start_pos = jnp.argsort(jnp.where(new_voxel, pos, n + pos))[:capacity]
     sp_c = jnp.minimum(start_pos, n - 1)
     is_real = new_voxel[sp_c] & (start_pos < n)
     cnt_g = jnp.maximum(cnt[sp_c], 1.0)[:, None]
-    out_xyz = acc[sp_c] / cnt_g
-    out_extra = None
-    if extra is not None:
-        eacc, _ = windowed(jnp.where(mask_s[:, None], extra_s, 0.0))
-        out_extra = eacc[sp_c] / cnt_g
+    out = acc[sp_c] / cnt_g
+    out_xyz = out[:, :3]
+    out_extra = out[:, 3:] if extra is not None else None
     return out_xyz, is_real, out_extra
 
 

@@ -89,3 +89,25 @@ def test_gridmap_staleness_eviction(rng):
     # Stale content is excluded by distance (>= one torus period away —
     # the far-sentinel contract), far beyond any reach gate.
     assert float(d_old[0, 0]) >= (0.9 * GX * CS) ** 2
+
+
+def test_gridmap_no_resurrection_after_reset(rng):
+    """A cell reset by an eviction must CLEAR its leftover slots: when the
+    trajectory later revisits the first region (loop closure), the
+    pre-eviction points must not reappear in k-NN results."""
+    grid = gridmap.init_grid(GX * GY * GZ, 16)
+    # Two points in one cell at region A.
+    pa = np.array([[1.0, 1.0, 1.0], [1.5, 1.0, 1.0]], np.float32)
+    grid = gridmap.insert(grid, jnp.asarray(pa), jnp.ones(2, bool),
+                          GX, GY, GZ, CS, 0.2)
+    # Region B (one torus period away) claims the same cell with ONE point:
+    # slot 1 would keep pa[1] without the reset-clear.
+    pb = pa[:1] + np.array([[GX * CS, 0.0, 0.0]], np.float32)
+    grid = gridmap.insert(grid, jnp.asarray(pb), jnp.ones(1, bool),
+                          GX, GY, GZ, CS, 0.2)
+    # Revisit region A: no stored point may be within reach.
+    d, _ = gridmap.knn_grid(
+        grid, jnp.asarray(pa), jnp.ones(2, bool), GX, GY, GZ, CS,
+        reach=1.0, k=2,
+    )
+    assert float(np.min(np.asarray(d))) > 1.0  # nothing within reach^2
