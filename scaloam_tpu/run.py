@@ -91,6 +91,7 @@ def main(argv=None) -> int:
         scans, gt = synthetic.simulate_trajectory(
             world, n_frames=args.synthetic, speed=1.0,
             radius=args.synthetic_radius, n_azimuth=1024,
+            n_scans=cfg.sensor.n_scans, lidar_type=cfg.sensor.lidar_type,
         )
         frames = ((0.1 * i, s) for i, s in enumerate(scans))
         gt_poses = gt

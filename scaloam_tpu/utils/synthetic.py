@@ -49,6 +49,29 @@ def _ray_box(o: np.ndarray, d: np.ndarray, boxes: np.ndarray) -> np.ndarray:
     return t.min(axis=-1)
 
 
+def _elevation_ladder(n_scans: int, lidar_type: str) -> np.ndarray:
+    """Per-model beam elevations (degrees) matching the reference's ring-id
+    formulas (src/scanRegistration.cpp:171-218) so the simulator exercises
+    each sensor preset with realistic geometry.
+
+    HDL64: upper block 1/3 deg steps from +2, lower block 1/2 deg from
+    -8.83 — each row maps to a UNIQUE ring id, like the real sensor.
+    VLP16: 2 deg spacing over [-15, +15]. HDL32: 4/3 deg over
+    [-30.67, +10.67]. OS1-64: uniform over [-22.5, +22.5] (the reference's
+    OS1 ring formula collapses ~3 beams per id — a faithful quirk)."""
+    if lidar_type == "HDL64" and n_scans == 64:
+        upper = 2.0 - np.arange(32) / 3.0
+        lower = -8.83 - np.arange(32) / 2.0
+        return np.concatenate([upper, lower])
+    if lidar_type == "VLP16" and n_scans == 16:
+        return 15.0 - 2.0 * np.arange(16)
+    if lidar_type == "HDL32" and n_scans == 32:
+        return 10.67 - (4.0 / 3.0) * np.arange(32)
+    if lidar_type == "OS1-64" and n_scans == 64:
+        return np.linspace(22.5, -22.5, 64)
+    return np.linspace(2.0, -24.0, n_scans)
+
+
 def simulate_scan(
     world: World,
     sensor_pos: np.ndarray,
@@ -58,20 +81,12 @@ def simulate_scan(
     max_range: float = 80.0,
     noise: float = 0.01,
     seed: int = 0,
+    lidar_type: str = "HDL64",
 ) -> np.ndarray:
     """One revolution; returns [M, 3] float32 points in sensor frame,
     azimuth-major stream order, misses dropped."""
     rng = np.random.default_rng(seed)
-    if n_scans == 64:
-        # Exact HDL-64 ladder (matches the reference's ring-id mapping,
-        # src/scanRegistration.cpp:195-203): upper block 1/3 deg steps from
-        # +2 deg, lower block 1/2 deg steps from -8.83 deg — each row maps
-        # to a UNIQUE ring id, like the real sensor.
-        upper = 2.0 - np.arange(32) / 3.0
-        lower = -8.83 - np.arange(32) / 2.0
-        elev = np.deg2rad(np.concatenate([upper, lower]))
-    else:
-        elev = np.deg2rad(np.linspace(2.0, -24.0, n_scans))
+    elev = np.deg2rad(_elevation_ladder(n_scans, lidar_type))
     azim = np.linspace(-np.pi + 1e-3, np.pi - 1e-3, n_azimuth, endpoint=False)
     # stream order: azimuth outer, ring inner
     a = np.repeat(azim, n_scans)
@@ -108,6 +123,7 @@ def simulate_trajectory(
     n_azimuth: int = 1024,
     closed_loop: bool = True,
     seed: int = 0,
+    lidar_type: str = "HDL64",
 ) -> Tuple[list, np.ndarray]:
     """Drive a circle through the world (closes a loop if n_frames covers it).
 
@@ -122,7 +138,8 @@ def simulate_trajectory(
         yaw = theta
         scans.append(
             simulate_scan(
-                world, pos, yaw, n_scans=n_scans, n_azimuth=n_azimuth, seed=seed + i
+                world, pos, yaw, n_scans=n_scans, n_azimuth=n_azimuth,
+                seed=seed + i, lidar_type=lidar_type,
             )
         )
         cy, sy = np.cos(yaw), np.sin(yaw)
