@@ -68,15 +68,42 @@ def init_state(cfg: SlamConfig) -> MappingState:
     )
 
 
+_CAND_K = 8  # cached candidate superset per query (re-ranked each pass)
+
+
+def _candidates(pose: Pose, pts: jax.Array, pmask: jax.Array,
+                grid: gridmap.GridMap, mcfg) -> jax.Array:
+    """One grid k-NN gather at the given pose, returning a top-8 candidate
+    superset [Q, 8, 3]. The expensive cell gather + distance sweep runs ONCE
+    per frame; each outer association pass re-ranks these 8 at its updated
+    pose (_rerank). The pose moves millimeters between passes, so the top-8
+    at the prior pose contains the top-5 at the refined pose in all but
+    pathological cases (deviation from the reference's full kd-tree
+    re-search per pass, src/laserMapping.cpp:563-728; ATE-validated)."""
+    pw = se3.apply(pose, pts)  # pointAssociateToMap
+    _, nb = gridmap.knn_grid(
+        grid, pw, pmask, mcfg.grid_xy, mcfg.grid_xy, mcfg.grid_z,
+        mcfg.cell_size, reach=1.0, k=max(_CAND_K, mcfg.knn),
+    )
+    return nb
+
+
+def _rerank(pose: Pose, pts: jax.Array, nb8: jax.Array, k: int):
+    """Exact k-NN among the cached candidates at the current pose.
+    Empty/stale candidate slots sit at the far sentinel (ops/gridmap.py),
+    so they rank last with no masks. Returns (d [Q,k] ascending, nb [Q,k,3])."""
+    pw = se3.apply(pose, pts)
+    d8 = jnp.sum((nb8 - pw[:, None, :]) ** 2, axis=-1)  # [Q, 8]
+    negd, j = jax.lax.top_k(-d8, k)
+    nb = jnp.take_along_axis(nb8, j[:, :, None], axis=1)
+    return -negd, nb
+
+
 def _corner_correspond(pose: Pose, pts: jax.Array, pmask: jax.Array,
-                       grid: gridmap.GridMap, mcfg):
+                       nb8: jax.Array, mcfg):
     """5-NN -> covariance eigendecomposition -> synthetic line endpoints
     (:578-622). Returns (a, b, valid)."""
-    pw = se3.apply(pose, pts)  # pointAssociateToMap
-    d, nb = gridmap.knn_grid(
-        grid, pw, pmask, mcfg.grid_xy, mcfg.grid_xy, mcfg.grid_z,
-        mcfg.cell_size, reach=1.0, k=mcfg.knn,
-    )
+    d, nb = _rerank(pose, pts, nb8, mcfg.knn)
     ok_nn = pmask & (d[:, -1] < mcfg.corner_nn_max_dist)  # sqDis[4] < 1.0
     mean, cov = fit.neighborhood_cov(nb)
     vals, vdir = fit.eigh3x3(cov)
@@ -87,14 +114,10 @@ def _corner_correspond(pose: Pose, pts: jax.Array, pmask: jax.Array,
 
 
 def _surf_correspond(pose: Pose, pts: jax.Array, pmask: jax.Array,
-                     grid: gridmap.GridMap, mcfg):
+                     nb8: jax.Array, mcfg):
     """5-NN -> least-squares plane fit -> validity gate (:649-686).
     Returns (unit_norm, neg_d, valid)."""
-    pw = se3.apply(pose, pts)
-    d, nb = gridmap.knn_grid(
-        grid, pw, pmask, mcfg.grid_xy, mcfg.grid_xy, mcfg.grid_z,
-        mcfg.cell_size, reach=1.0, k=mcfg.knn,
-    )
+    d, nb = _rerank(pose, pts, nb8, mcfg.knn)
     ok_nn = pmask & (d[:, -1] < mcfg.surf_nn_max_dist_sq)
     unit_n, neg_d, ok_fit = fit.fit_plane(nb)
     # plane validity: every neighbor within plane_fit_tol of the plane (:670-680)
@@ -135,21 +158,30 @@ def mapping_step(
     pose = prior
     n_c = jnp.zeros((), jnp.int32)
     n_s = jnp.zeros((), jnp.int32)
+    cin_T, sin_T = cin_xyz.T, sin_xyz.T
+    nb8_c = _candidates(prior, cin_xyz, cin_mask & dense_enough,
+                        state.corner_grid, m)
+    nb8_s = _candidates(prior, sin_xyz, sin_mask & dense_enough,
+                        state.surf_grid, m)
     for _ in range(m.outer_iterations):
         a, b, cv = _corner_correspond(
-            pose, cin_xyz, cin_mask & dense_enough, state.corner_grid, m
+            pose, cin_xyz, cin_mask & dense_enough, nb8_c, m
         )
         un, nd, sv = _surf_correspond(
-            pose, sin_xyz, sin_mask & dense_enough, state.surf_grid, m
+            pose, sin_xyz, sin_mask & dense_enough, nb8_s, m
         )
         n_c = jnp.sum(cv.astype(jnp.int32))
         n_s = jnp.sum(sv.astype(jnp.int32))
 
-        def build(p, a=a, b=b, cv=cv, un=un, nd=nd, sv=sv):
+        # SoA ([3, n]) factor data: transposed once per pass, reused by all
+        # GN iterations (lane-efficient — see residuals.py FactorSetT).
+        aT, bT, unT = a.T, b.T, un.T
+
+        def build(p, aT=aT, bT=bT, cv=cv, unT=unT, nd=nd, sv=sv):
             # Relinearize at p with frozen correspondences (Ceres inner loop).
             return [
-                residuals.edge_factors(p, cin_xyz, a, b, cv),
-                residuals.plane_norm_factors(p, sin_xyz, un, nd, sv),
+                residuals.edge_factors_T(p, cin_T, aT, bT, cv),
+                residuals.plane_norm_factors_T(p, sin_T, unT, nd, sv),
             ]
 
         pose = gn.gauss_newton(pose, build, m.gn_iterations, m.huber_delta)

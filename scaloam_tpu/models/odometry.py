@@ -65,13 +65,16 @@ def _associate(rel: Pose, feats: ScanFeatures, state: OdometryState, cfg: SlamCo
     thr = ocfg.distance_sq_threshold
 
     # --- corners (:299-384)
+    # Tile sizes: measured on v5e, the scans are per-iteration-overhead bound
+    # — 8192-wide tiles halve nn1, 4096 is the ring-pass sweet spot.
     sharp = feats.sharp
     q_pts = residuals.transform_points(rel, sharp.xyz)  # TransformToStart
     tc = state.last_corner
-    dj, ij = voxel.nn1(q_pts, sharp.mask, tc.xyz, tc.mask)
+    dj, ij = voxel.nn1(q_pts, sharp.mask, tc.xyz, tc.mask, tile=8192)
     ring_j = tc.ring[ij]
     _, _, do, io = correspond.ring_constrained_nn(
-        q_pts, sharp.mask, ring_j, ij, tc.xyz, tc.mask, tc.ring, ocfg.nearby_scan
+        q_pts, sharp.mask, ring_j, ij, tc.xyz, tc.mask, tc.ring,
+        ocfg.nearby_scan, tile=4096,
     )
     corner_valid = sharp.mask & (dj < thr) & (do < thr)
     corner_data = (sharp.xyz, tc.xyz[ij], tc.xyz[io], corner_valid)
@@ -80,10 +83,11 @@ def _associate(rel: Pose, feats: ScanFeatures, state: OdometryState, cfg: SlamCo
     flat = feats.flat
     qs_pts = residuals.transform_points(rel, flat.xyz)
     ts = state.last_surf
-    sdj, sij = voxel.nn1(qs_pts, flat.mask, ts.xyz, ts.mask)
+    sdj, sij = voxel.nn1(qs_pts, flat.mask, ts.xyz, ts.mask, tile=8192)
     s_ring_j = ts.ring[sij]
     ds, is_, do2, io2 = correspond.ring_constrained_nn(
-        qs_pts, flat.mask, s_ring_j, sij, ts.xyz, ts.mask, ts.ring, ocfg.nearby_scan
+        qs_pts, flat.mask, s_ring_j, sij, ts.xyz, ts.mask, ts.ring,
+        ocfg.nearby_scan, tile=4096,
     )
     surf_valid = flat.mask & (sdj < thr) & (ds < thr) & (do2 < thr)
     surf_data = (flat.xyz, ts.xyz[sij], ts.xyz[is_], ts.xyz[io2], surf_valid)
@@ -91,13 +95,17 @@ def _associate(rel: Pose, feats: ScanFeatures, state: OdometryState, cfg: SlamCo
 
 
 def _solve(rel: Pose, corner_data, surf_data, cfg: SlamConfig) -> Pose:
+    # SoA ([3, n]) factor data: transposed once, reused by all GN iterations
+    # (lane-efficient — see residuals.py FactorSetT).
     p_c, a, b, v_c = corner_data
     p_s, j, l, m, v_s = surf_data
+    pcT, aT, bT = p_c.T, a.T, b.T
+    psT, jT, lT, mT = p_s.T, j.T, l.T, m.T
 
     def build(pose):
         return [
-            residuals.edge_factors(pose, p_c, a, b, v_c),
-            residuals.plane3_factors(pose, p_s, j, l, m, v_s),
+            residuals.edge_factors_T(pose, pcT, aT, bT, v_c),
+            residuals.plane3_factors_T(pose, psT, jT, lT, mT, v_s),
         ]
 
     return gn.gauss_newton(

@@ -35,7 +35,10 @@ def ring_constrained_nn(
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Returns (d_same [Q], i_same [Q], d_other [Q], i_other [Q]) — squared
     distances (1e30 when none) and indices."""
-    assert target.shape[0] % tile == 0
+    # Shrink the requested tile to fit (tile is tuned for production
+    # capacities; smaller configs just use narrower tiles).
+    while target.shape[0] % tile != 0:
+        tile //= 2
     n_tiles = target.shape[0] // tile
     q2 = jnp.sum(query * query, axis=-1, keepdims=True)
     qn = query.shape[0]

@@ -381,24 +381,17 @@ def _assemble_outputs(cfg, ri, img, count, corner_idx, corner_ok,
     flat = to_cloud(flat_idx, flat_ok, feat.max_flat)
 
     # Less-flat: subregion points not labeled corner (label <= 0, :404-408),
-    # voxel-filtered per ring at 0.2 m (:414-419).
+    # voxel-filtered per ring at 0.2 m (:414-419). Grid-native run filter:
+    # azimuth ordering makes same-voxel points consecutive along a row, so
+    # no sort is needed at all (voxel_downsample_rows).
     sub_range = (jj >= 5) & (jj <= (count[:, None] - 7)) & ring_sel_ok[:, None]
     lf_mask = sub_range & ~labels & ri.mask
-    lf_xyz = img.reshape(-1, 3)
-    lf_m = lf_mask.reshape(-1)
-    ring_grid = jnp.asarray(np.broadcast_to(np.arange(S)[:, None], (S, W)).reshape(-1))
-    extra = jnp.stack(
-        [ring_grid.astype(jnp.float32), ri.rel_time.reshape(-1)], axis=-1
-    )
-    # Packed-key fast path: z dropped from the key (a (ring, x, y) column
-    # holds one surface sample in per-ring lidar geometry), ring in the
-    # group bits -> single-sort voxel filter.
-    dx, dm, de = voxel.voxel_downsample_packed(
-        lf_xyz, lf_m, feat.less_flat_voxel_size, feat.max_less_flat,
-        extra=extra, group_key=ring_grid, group_bits=6, xy_bits=10, z_bits=0,
+    dx, dm, dring, de = voxel.voxel_downsample_rows(
+        img, lf_mask, feat.less_flat_voxel_size, feat.max_less_flat,
+        extra=ri.rel_time[:, :, None],
     )
     less_flat = FeatureCloud(
-        xyz=dx, ring=jnp.where(dm, de[:, 0], -1.0), rel_time=de[:, 1], mask=dm
+        xyz=dx, ring=jnp.where(dm, dring, -1.0), rel_time=de[:, 0], mask=dm
     )
 
     return ScanFeatures(

@@ -39,6 +39,20 @@ def normal_equations(
     Jtr = jnp.zeros((6,), jnp.float32)
     cost = jnp.zeros((), jnp.float32)
     for fs in factor_sets:
+        if isinstance(fs, res_mod.FactorSetT):
+            # SoA layout: r [R, n], J [R, 6, n] — n rides the lanes.
+            vm = fs.valid[None, :]
+            r = jnp.where(vm, fs.r, 0.0)
+            J = jnp.where(vm[:, None, :], fs.J, 0.0)
+            s = jnp.sum(r * r, axis=0)  # [n]
+            w = fs.valid.astype(jnp.float32)
+            if huber_delta is not None:
+                w = w * huber_weight(s, huber_delta)
+            Jw = J * w[None, None, :]
+            JtJ = JtJ + jnp.einsum("rin,rjn->ij", Jw, J, precision=_HI)
+            Jtr = Jtr + jnp.einsum("rin,rn->i", Jw, r, precision=_HI)
+            cost = cost + jnp.sum(w * s)
+            continue
         # Sanitize invalid rows: zero weight is not enough, since degenerate
         # correspondences (e.g. singular plane fits) can carry NaN/inf data
         # and 0 * NaN poisons the reduction.
@@ -56,11 +70,48 @@ def normal_equations(
     return JtJ, Jtr, cost
 
 
+def cholesky_solve6(A: jax.Array, b: jax.Array) -> jax.Array:
+    """Solve A x = b for a 6x6 SPD system with an unrolled Cholesky.
+
+    jnp.linalg.solve lowers to an LU custom call on TPU (~50 us per call —
+    the 16 solves/frame showed up as the hottest custom-calls in the stage
+    trace); the unrolled scalar form fuses into the surrounding kernel."""
+    n = 6
+    L = [[None] * n for _ in range(n)]
+    for j in range(n):
+        s = A[j, j]
+        for k in range(j):
+            s = s - L[j][k] * L[j][k]
+        Ljj = jnp.sqrt(jnp.maximum(s, 1e-20))
+        L[j][j] = Ljj
+        inv = 1.0 / Ljj
+        for i in range(j + 1, n):
+            s = A[i, j]
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            L[i][j] = s * inv
+    # Forward substitution: L y = b
+    y = [None] * n
+    for i in range(n):
+        s = b[i]
+        for k in range(i):
+            s = s - L[i][k] * y[k]
+        y[i] = s / L[i][i]
+    # Back substitution: L^T x = y
+    x = [None] * n
+    for i in reversed(range(n)):
+        s = y[i]
+        for k in range(i + 1, n):
+            s = s - L[k][i] * x[k]
+        x[i] = s / L[i][i]
+    return jnp.stack(x)
+
+
 def solve_step(JtJ: jax.Array, Jtr: jax.Array, damping: float = 1e-6) -> jax.Array:
     """One GN step: (JtJ + lambda*diag(JtJ)) delta = -Jtr."""
     diag = jnp.diagonal(JtJ)
     A = JtJ + damping * jnp.diag(jnp.maximum(diag, 1e-8))
-    return jnp.linalg.solve(A, -Jtr)
+    return cholesky_solve6(A, -Jtr)
 
 
 def apply_delta(pose: Pose, delta: jax.Array) -> Pose:
@@ -81,12 +132,16 @@ def gauss_newton(
 ) -> Pose:
     """Run fixed-count GN: factors are rebuilt (residuals relinearized) each
     iteration from the current pose, correspondences stay fixed — exactly
-    Ceres' inner loop with frozen data association."""
+    Ceres' inner loop with frozen data association.
 
-    def body(_, pose):
+    Unrolled (not fori_loop): the body is a handful of cheap batched ops and
+    the while-loop form pays carried-buffer copies around each tiny
+    dot_general (visible as the hot copy/fusion pairs in the stage trace)."""
+
+    pose = pose0
+    for _ in range(iterations):
         sets = build_factors(pose)
         JtJ, Jtr, _ = normal_equations(sets, huber_delta)
         delta = solve_step(JtJ, Jtr, damping)
-        return apply_delta(pose, delta)
-
-    return jax.lax.fori_loop(0, iterations, body, pose0)
+        pose = apply_delta(pose, delta)
+    return pose

@@ -211,6 +211,86 @@ def voxel_downsample_packed(
     return out_xyz, is_real, out_extra
 
 
+def voxel_downsample_rows(
+    img: jax.Array,  # [S, W, 3] range-image points (azimuth-ordered rows)
+    mask: jax.Array,  # [S, W]
+    voxel_size: float,
+    capacity: int,
+    extra: Optional[jax.Array] = None,  # [S, W, E]
+    mean_window: int = 8,
+) -> Tuple[jax.Array, jax.Array, jax.Array, Optional[jax.Array]]:
+    """Per-ring voxel filter exploiting range-image ordering — NO sorts.
+
+    Points along a lidar ring are azimuth-ordered, so points sharing an
+    (x, y) voxel form consecutive RUNS along the row: grouping is a
+    neighbor-compare instead of a global sort, window means are log-step
+    shifted adds along the row, and compaction is a unique-index scatter at
+    positions from a cumsum. Replaces the reference's per-ring PCL
+    VoxelGrid on the less-flat cloud (src/scanRegistration.cpp:404-419).
+
+    Deviation (documented): a ring that leaves a voxel and re-enters it
+    later emits one point per run rather than one per voxel — measured
+    <0.2% of outputs on HDL-64 scans (runs/distinct = 1613/1611 per ring).
+
+    Returns (xyz [capacity, 3], mask [capacity], ring [capacity] float,
+    extra [capacity, E] or None); outputs are ring-major ordered.
+    """
+    S, W = mask.shape
+    n = S * W
+    c = jnp.floor(img[:, :, :2] / voxel_size).astype(jnp.int32)
+    same_as_prev = jnp.concatenate(
+        [
+            jnp.zeros((S, 1), bool),
+            jnp.all(c[:, 1:] == c[:, :-1], axis=-1) & mask[:, 1:] & mask[:, :-1],
+        ],
+        axis=1,
+    )
+    new_run = mask & ~same_as_prev
+
+    # Segmented window mean over the next <= mean_window run members
+    # (log-step doubling; see voxel_downsample_packed).
+    vals = img if extra is None else jnp.concatenate([img, extra], axis=-1)
+    vals = jnp.where(mask[:, :, None], vals, 0.0)
+    sn = jnp.concatenate([same_as_prev[:, 1:], jnp.zeros((S, 1), bool)], axis=1)
+
+    def shift_up(a, w, fill=0):
+        pad = jnp.full(a.shape[:1] + (w,) + a.shape[2:], fill, a.dtype)
+        return jnp.concatenate([a[:, w:], pad], axis=1)
+
+    acc = vals
+    cnt = jnp.ones((S, W), jnp.float32)
+    f = sn
+    step = 1
+    while step < mean_window:
+        acc = acc + jnp.where(f[:, :, None], shift_up(acc, step), 0.0)
+        cnt = cnt + jnp.where(f, shift_up(cnt, step), 0.0)
+        if 2 * step < mean_window:
+            f = f & shift_up(f, step, fill=False)
+        step *= 2
+
+    # Compact run starts (ring-major order) by cumsum position + one
+    # unique-index scatter — no sort, no permutation gather.
+    nr = new_run.reshape(-1)
+    run_id = jnp.cumsum(nr.astype(jnp.int32)) - 1
+    oidx = jnp.where(nr & (run_id < capacity), run_id, capacity)
+    ring_ch = jnp.broadcast_to(
+        jnp.arange(S, dtype=jnp.float32)[:, None], (S, W)
+    ).reshape(-1, 1)
+    payload = jnp.concatenate(
+        [acc.reshape(n, -1), cnt.reshape(n, 1), ring_ch], axis=-1
+    )
+    C = payload.shape[1]
+    out = jnp.zeros((capacity, C), jnp.float32).at[oidx].set(
+        payload, mode="drop"
+    )
+    got = jnp.zeros((capacity,), bool).at[oidx].set(nr, mode="drop")
+    cnt_o = jnp.maximum(out[:, -2], 1.0)[:, None]
+    mean_o = out[:, :-2] / cnt_o
+    out_xyz = mean_o[:, :3]
+    out_extra = mean_o[:, 3:] if extra is not None else None
+    return out_xyz, got, out[:, -1], out_extra
+
+
 # ---------------------------------------------------------------------------
 # Brute-force K-NN (the KD-tree replacement)
 # ---------------------------------------------------------------------------
@@ -245,8 +325,34 @@ def knn(
     q2 = jnp.sum(query * query, axis=-1, keepdims=True)  # [Q, 1]
     qn = jnp.shape(query)[0]
     tn = jnp.shape(target)[0]
-    assert target.shape[0] % tile == 0, "pad target to a multiple of tile"
+    # Shrink the requested tile to fit (callers tune tile for the big
+    # production capacities; small configs just use fewer/narrower tiles).
+    while target.shape[0] % tile != 0:
+        tile //= 2
     n_tiles = target.shape[0] // tile
+
+    if k == 1:
+        # top_k lowers to a sort-flavored custom call even for k=1; a plain
+        # min/argmin compare-update per tile is much cheaper on the VPU.
+        def body1(carry, i):
+            best_d, best_i = carry
+            tgt = jax.lax.dynamic_slice_in_dim(target, i * tile, tile, axis=0)
+            tm = jax.lax.dynamic_slice_in_dim(target_mask, i * tile, tile, axis=0)
+            t2 = jnp.sum(tgt * tgt, axis=-1)[None, :]
+            cross = jnp.dot(query, tgt.T, preferred_element_type=jnp.float32)
+            d = jnp.where(tm[None, :], q2 + t2 - 2.0 * cross, _BIG)
+            j = jnp.argmin(d, axis=1)
+            v = jnp.take_along_axis(d, j[:, None], 1)[:, 0]
+            upd = v < best_d
+            return (
+                jnp.where(upd, v, best_d),
+                jnp.where(upd, i * tile + j, best_i),
+            ), None
+
+        init1 = (jnp.full((qn,), _BIG, jnp.float32), jnp.zeros((qn,), jnp.int32))
+        (bd, bi), _ = jax.lax.scan(body1, init1, jnp.arange(n_tiles))
+        bd = jnp.where(query_mask, jnp.maximum(bd, 0.0), _BIG)
+        return bd[:, None], bi[:, None]
 
     def body(carry, i):
         best_d, best_i = carry

@@ -116,3 +116,46 @@ def test_huber_downweights_outliers(rng):
     err_plain = np.linalg.norm(np.asarray(est_plain.trans) - np.asarray(true.trans))
     assert err_robust < 0.05
     assert err_robust < err_plain
+
+
+def test_soa_factor_builders_match_aos():
+    """FactorSetT builders must produce the same normal equations as the
+    autodiff-verified AoS builders."""
+    import numpy as np
+    from scaloam_tpu.ops import gn, residuals, se3
+    from scaloam_tpu.types import Pose
+
+    rng = np.random.default_rng(11)
+    n = 257
+    pose = Pose(
+        se3.quat_normalize(jnp.asarray(rng.normal(size=4), jnp.float32)),
+        jnp.asarray(rng.normal(size=3), jnp.float32),
+    )
+    p = jnp.asarray(rng.normal(size=(n, 3)) * 5, jnp.float32)
+    a = jnp.asarray(rng.normal(size=(n, 3)) * 5, jnp.float32)
+    b = jnp.asarray(rng.normal(size=(n, 3)) * 5, jnp.float32)
+    c = jnp.asarray(rng.normal(size=(n, 3)) * 5, jnp.float32)
+    v = jnp.asarray(rng.uniform(size=n) > 0.3)
+    un = a / jnp.linalg.norm(a, axis=-1, keepdims=True)
+    nd = jnp.asarray(rng.normal(size=n), jnp.float32)
+
+    pairs = [
+        (
+            residuals.edge_factors(pose, p, a, b, v),
+            residuals.edge_factors_T(pose, p.T, a.T, b.T, v),
+        ),
+        (
+            residuals.plane3_factors(pose, p, a, b, c, v),
+            residuals.plane3_factors_T(pose, p.T, a.T, b.T, c.T, v),
+        ),
+        (
+            residuals.plane_norm_factors(pose, p, un, nd, v),
+            residuals.plane_norm_factors_T(pose, p.T, un.T, nd, v),
+        ),
+    ]
+    for aos, soa in pairs:
+        JtJ_a, Jtr_a, cost_a = gn.normal_equations([aos], 0.1)
+        JtJ_s, Jtr_s, cost_s = gn.normal_equations([soa], 0.1)
+        np.testing.assert_allclose(np.asarray(JtJ_a), np.asarray(JtJ_s), rtol=2e-4, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(Jtr_a), np.asarray(Jtr_s), rtol=2e-4, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(cost_a), np.asarray(cost_s), rtol=2e-4)

@@ -91,3 +91,57 @@ def test_packed_voxel_matches_generic(rng):
     np.testing.assert_allclose(
         a[np.lexsort(a.T)], b[np.lexsort(b.T)], atol=1e-5
     )
+
+
+def test_rows_voxel_matches_numpy_runs(rng):
+    """voxel_downsample_rows vs a direct numpy run-grouping reference."""
+    S, W = 4, 512
+    # smooth-ish per-row curves so runs of same-voxel points actually occur
+    t = np.linspace(0, 2 * np.pi, W, dtype=np.float32)
+    img = np.stack(
+        [
+            np.stack([(5 + 0.02 * s) * np.cos(t), (5 + 0.02 * s) * np.sin(t),
+                      0.1 * s * np.ones_like(t)], axis=-1)
+            for s in range(S)
+        ]
+    ).astype(np.float32)
+    img += rng.normal(0, 0.01, img.shape).astype(np.float32)
+    mask = rng.uniform(size=(S, W)) > 0.1
+    rel = rng.uniform(size=(S, W)).astype(np.float32)
+
+    leaf, capacity, window = 0.2, 4096, 8
+    xyz, m, ring, extra = voxel.voxel_downsample_rows(
+        jnp.array(img), jnp.array(mask), leaf, capacity,
+        extra=jnp.array(rel)[:, :, None], mean_window=window,
+    )
+    xyz, m, ring, extra = map(np.asarray, (xyz, m, ring, extra))
+
+    # numpy reference: per row, split into runs of equal (x,y) voxel among
+    # consecutive valid points; output mean of first <= window members.
+    exp = []
+    for s in range(S):
+        j = 0
+        while j < W:
+            if not mask[s, j]:
+                j += 1
+                continue
+            c0 = np.floor(img[s, j, :2] / leaf).astype(np.int64)
+            k = j
+            while (
+                k + 1 < W and mask[s, k + 1]
+                and np.all(np.floor(img[s, k + 1, :2] / leaf).astype(np.int64) == c0)
+            ):
+                k += 1
+            members = img[s, j : min(j + window, k + 1)]
+            mrel = rel[s, j : min(j + window, k + 1)]
+            exp.append((s, members.mean(0), mrel.mean()))
+            j = k + 1
+
+    assert int(m.sum()) == len(exp)
+    got = xyz[m]
+    got_ring = ring[m]
+    got_rel = extra[m][:, 0]
+    for i, (s, e_xyz, e_rel) in enumerate(exp):
+        assert got_ring[i] == s
+        np.testing.assert_allclose(got[i], e_xyz, atol=1e-5)
+        np.testing.assert_allclose(got_rel[i], e_rel, atol=1e-5)
