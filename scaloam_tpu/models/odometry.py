@@ -58,39 +58,77 @@ def init_state(cfg: SlamConfig) -> OdometryState:
     )
 
 
-def _associate(rel: Pose, feats: ScanFeatures, state: OdometryState, cfg: SlamConfig):
-    """One data-association pass at the current rel estimate. Returns the
-    fixed correspondence data for the GN inner loop."""
-    ocfg = cfg.odometry
-    thr = ocfg.distance_sq_threshold
+def _sweep_candidates(rel: Pose, feats: ScanFeatures, state: OdometryState,
+                      cfg: SlamConfig):
+    """Full-cloud correspondence sweeps at the current rel estimate, kept
+    2-deep per class. Runs ONCE per frame; each outer association pass
+    re-ranks these candidates at its refined pose (_rerank_*) instead of
+    re-sweeping — the reference re-searches its KD-trees per pass
+    (src/laserOdometry.cpp:278-299), but the pose moves ~mm between passes
+    so the cached top-2 contains the new top-1 (deviation ATE-validated;
+    same design as mapping's candidate cache). The 1-NN's ring (the
+    same/other class boundary) is frozen at the sweep pose.
 
-    # --- corners (:299-384)
-    # Tile sizes: measured on v5e, the scans are per-iteration-overhead bound
-    # — 8192-wide tiles halve nn1, 4096 is the ring-pass sweet spot.
+    Returns per feature type the gathered candidate points [Q, 2, 3] per
+    class (any / same-ring / other-ring; corners have no same class)."""
+    ocfg = cfg.odometry
+
+    # Tile sizes: measured on v5e, the scans are per-iteration-overhead
+    # bound — 8192-wide tiles halve nn1, 4096 is the ring-pass sweet spot.
     sharp = feats.sharp
     q_pts = residuals.transform_points(rel, sharp.xyz)  # TransformToStart
     tc = state.last_corner
-    dj, ij = voxel.nn1(q_pts, sharp.mask, tc.xyz, tc.mask, tile=8192)
-    ring_j = tc.ring[ij]
-    _, _, do, io = correspond.ring_constrained_nn(
-        q_pts, sharp.mask, ring_j, ij, tc.xyz, tc.mask, tc.ring,
+    dj2, ij2 = voxel.knn(q_pts, sharp.mask, tc.xyz, tc.mask, k=2, tile=8192)
+    ring_j = tc.ring[ij2[:, 0]]
+    _, _, _, io2 = correspond.ring_constrained_nn2(
+        q_pts, sharp.mask, ring_j, ij2[:, 0], tc.xyz, tc.mask, tc.ring,
         ocfg.nearby_scan, tile=4096,
     )
-    corner_valid = sharp.mask & (dj < thr) & (do < thr)
-    corner_data = (sharp.xyz, tc.xyz[ij], tc.xyz[io], corner_valid)
+    corner_cand = (tc.xyz[ij2], tc.xyz[io2])  # [Q, 2, 3] each
 
-    # --- surfs (:387-483)
     flat = feats.flat
     qs_pts = residuals.transform_points(rel, flat.xyz)
     ts = state.last_surf
-    sdj, sij = voxel.nn1(qs_pts, flat.mask, ts.xyz, ts.mask, tile=8192)
-    s_ring_j = ts.ring[sij]
-    ds, is_, do2, io2 = correspond.ring_constrained_nn(
-        qs_pts, flat.mask, s_ring_j, sij, ts.xyz, ts.mask, ts.ring,
+    sdj2, sij2 = voxel.knn(qs_pts, flat.mask, ts.xyz, ts.mask, k=2, tile=8192)
+    s_ring_j = ts.ring[sij2[:, 0]]
+    _, is2, _, io2s = correspond.ring_constrained_nn2(
+        qs_pts, flat.mask, s_ring_j, sij2[:, 0], ts.xyz, ts.mask, ts.ring,
         ocfg.nearby_scan, tile=4096,
     )
+    surf_cand = (ts.xyz[sij2], ts.xyz[is2], ts.xyz[io2s])
+    return corner_cand, surf_cand
+
+
+def _pick1(q: jax.Array, cand: jax.Array):
+    """Nearest of the two cached candidates at the current pose.
+    q [Q, 3], cand [Q, 2, 3] -> (d [Q], pt [Q, 3])."""
+    d = jnp.sum((cand - q[:, None, :]) ** 2, axis=-1)  # [Q, 2]
+    take2 = d[:, 1] < d[:, 0]
+    pt = jnp.where(take2[:, None], cand[:, 1], cand[:, 0])
+    return jnp.minimum(d[:, 0], d[:, 1]), pt
+
+
+def _associate(rel: Pose, feats: ScanFeatures, corner_cand, surf_cand,
+               cfg: SlamConfig):
+    """One data-association pass: re-rank the cached candidates at the
+    current rel estimate. Returns the fixed correspondence data for the GN
+    inner loop (validity gates :299-384, :387-483)."""
+    thr = cfg.odometry.distance_sq_threshold
+
+    sharp = feats.sharp
+    q_pts = residuals.transform_points(rel, sharp.xyz)
+    dj, a = _pick1(q_pts, corner_cand[0])
+    do, b = _pick1(q_pts, corner_cand[1])
+    corner_valid = sharp.mask & (dj < thr) & (do < thr)
+    corner_data = (sharp.xyz, a, b, corner_valid)
+
+    flat = feats.flat
+    qs_pts = residuals.transform_points(rel, flat.xyz)
+    sdj, j = _pick1(qs_pts, surf_cand[0])
+    ds, l = _pick1(qs_pts, surf_cand[1])
+    do2, m = _pick1(qs_pts, surf_cand[2])
     surf_valid = flat.mask & (sdj < thr) & (ds < thr) & (do2 < thr)
-    surf_data = (flat.xyz, ts.xyz[sij], ts.xyz[is_], ts.xyz[io2], surf_valid)
+    surf_data = (flat.xyz, j, l, m, surf_valid)
     return corner_data, surf_data
 
 
@@ -122,8 +160,11 @@ def odometry_step(
     def solve_branch(rel):
         n_c = jnp.zeros((), jnp.int32)
         n_s = jnp.zeros((), jnp.int32)
+        corner_cand, surf_cand = _sweep_candidates(rel, feats, state, cfg)
         for _ in range(cfg.odometry.outer_iterations):
-            corner_data, surf_data = _associate(rel, feats, state, cfg)
+            corner_data, surf_data = _associate(
+                rel, feats, corner_cand, surf_cand, cfg
+            )
             rel = _solve(rel, corner_data, surf_data, cfg)
             n_c = jnp.sum(corner_data[-1].astype(jnp.int32))
             n_s = jnp.sum(surf_data[-1].astype(jnp.int32))

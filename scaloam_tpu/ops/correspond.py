@@ -18,6 +18,8 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
+from scaloam_tpu.ops import voxel
+
 _BIG = jnp.float32(1e30)
 
 
@@ -80,3 +82,68 @@ def ring_constrained_nn(
     ds = jnp.where(query_mask, jnp.maximum(ds, 0.0), _BIG)
     do = jnp.where(query_mask, jnp.maximum(do, 0.0), _BIG)
     return ds, is_, do, io
+
+
+@functools.partial(jax.jit, static_argnames=("tile",))
+def ring_constrained_nn2(
+    query: jax.Array,  # [Q, 3]
+    query_mask: jax.Array,  # [Q]
+    ring_ref: jax.Array,  # [Q] ring of the 1-NN (float)
+    exclude_idx: jax.Array,  # [Q] index of the 1-NN (excluded from same-ring)
+    target: jax.Array,  # [T, 3]
+    target_mask: jax.Array,  # [T]
+    target_ring: jax.Array,  # [T] float
+    nearby: float,
+    tile: int = 4096,
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Top-2 variant of ring_constrained_nn: returns (d_same [Q, 2],
+    i_same [Q, 2], d_other [Q, 2], i_other [Q, 2]) sorted ascending.
+
+    The 2-deep candidate lists let the odometry outer loop re-rank cached
+    candidates at its refined pose instead of re-sweeping the whole target
+    cloud (the reference re-searches its KD-trees every outer pass,
+    src/laserOdometry.cpp:278-299; between passes the pose moves ~mm, so
+    the top-2 at the old pose contains the top-1 at the new pose in all
+    but pathological cases)."""
+    while target.shape[0] % tile != 0:
+        tile //= 2
+    n_tiles = target.shape[0] // tile
+    q2 = jnp.sum(query * query, axis=-1, keepdims=True)
+    qn = query.shape[0]
+
+    def body(carry, i):
+        s1d, s1i, s2d, s2i, o1d, o1i, o2d, o2i = carry
+        tgt = jax.lax.dynamic_slice_in_dim(target, i * tile, tile, axis=0)
+        tm = jax.lax.dynamic_slice_in_dim(target_mask, i * tile, tile, axis=0)
+        tr = jax.lax.dynamic_slice_in_dim(target_ring, i * tile, tile, axis=0)
+        t2 = jnp.sum(tgt * tgt, axis=-1)[None, :]
+        cross = jnp.dot(query, tgt.T, preferred_element_type=jnp.float32)
+        d = q2 + t2 - 2.0 * cross  # [Q, tile]
+        gidx = i * tile + jnp.arange(tile)[None, :]
+
+        dr = tr[None, :] - ring_ref[:, None]
+        same = (jnp.abs(dr) < 0.5) & (gidx != exclude_idx[:, None])
+        other = (jnp.abs(dr) >= 0.5) & (jnp.abs(dr) <= nearby)
+        base = tm[None, :]
+
+        ts1d, ts1i, ts2d, ts2i = voxel._tile_top2(
+            jnp.where(base & same, d, _BIG), i * tile
+        )
+        to1d, to1i, to2d, to2i = voxel._tile_top2(
+            jnp.where(base & other, d, _BIG), i * tile
+        )
+        s = voxel._merge_top2(s1d, s1i, s2d, s2i, ts1d, ts1i, ts2d, ts2i)
+        o = voxel._merge_top2(o1d, o1i, o2d, o2i, to1d, to1i, to2d, to2i)
+        return s + o, None
+
+    z_d = jnp.full((qn,), _BIG)
+    z_i = jnp.zeros((qn,), jnp.int32)
+    init = (z_d, z_i, z_d, z_i, z_d, z_i, z_d, z_i)
+    (s1d, s1i, s2d, s2i, o1d, o1i, o2d, o2i), _ = jax.lax.scan(
+        body, init, jnp.arange(n_tiles)
+    )
+    ds = jnp.stack([s1d, s2d], axis=1)
+    do = jnp.stack([o1d, o2d], axis=1)
+    ds = jnp.where(query_mask[:, None], jnp.maximum(ds, 0.0), _BIG)
+    do = jnp.where(query_mask[:, None], jnp.maximum(do, 0.0), _BIG)
+    return ds, jnp.stack([s1i, s2i], axis=1), do, jnp.stack([o1i, o2i], axis=1)

@@ -296,6 +296,33 @@ def voxel_downsample_rows(
 # ---------------------------------------------------------------------------
 
 
+def _tile_top2(d: jax.Array, base: jax.Array):
+    """Smallest two entries per row of d [Q, tile] by double argmin
+    (cheaper than any sort/top_k lowering on TPU). Returns
+    (d1, i1, d2, i2) with global indices offset by `base`."""
+    j1 = jnp.argmin(d, axis=1)
+    v1 = jnp.take_along_axis(d, j1[:, None], 1)[:, 0]
+    cols = jnp.arange(d.shape[1])[None, :]
+    d_wo = jnp.where(cols == j1[:, None], _BIG, d)
+    j2 = jnp.argmin(d_wo, axis=1)
+    v2 = jnp.take_along_axis(d_wo, j2[:, None], 1)[:, 0]
+    return v1, base + j1, v2, base + j2
+
+
+def _merge_top2(b1d, b1i, b2d, b2i, v1d, v1i, v2d, v2i):
+    """Merge two per-row sorted pairs into the overall smallest two."""
+    t = v1d < b1d
+    f1d = jnp.where(t, v1d, b1d)
+    f1i = jnp.where(t, v1i, b1i)
+    # Runner-up candidates: the loser head and the winner's second.
+    l1d = jnp.where(t, b1d, v1d)
+    l1i = jnp.where(t, b1i, v1i)
+    o2d = jnp.where(t, v2d, b2d)
+    o2i = jnp.where(t, v2i, b2i)
+    s = l1d < o2d
+    return f1d, f1i, jnp.where(s, l1d, o2d), jnp.where(s, l1i, o2i)
+
+
 @functools.partial(jax.jit, static_argnames=("k", "tile"))
 def knn(
     query: jax.Array,
@@ -353,6 +380,29 @@ def knn(
         (bd, bi), _ = jax.lax.scan(body1, init1, jnp.arange(n_tiles))
         bd = jnp.where(query_mask, jnp.maximum(bd, 0.0), _BIG)
         return bd[:, None], bi[:, None]
+
+    if k == 2:
+        # Double argmin compare-update (no sorts; see k == 1 note).
+        def body2(carry, i):
+            b1d, b1i, b2d, b2i = carry
+            tgt = jax.lax.dynamic_slice_in_dim(target, i * tile, tile, axis=0)
+            tm = jax.lax.dynamic_slice_in_dim(target_mask, i * tile, tile, axis=0)
+            t2 = jnp.sum(tgt * tgt, axis=-1)[None, :]
+            cross = jnp.dot(query, tgt.T, preferred_element_type=jnp.float32)
+            d = jnp.where(tm[None, :], q2 + t2 - 2.0 * cross, _BIG)
+            v1d, v1i, v2d, v2i = _tile_top2(d, i * tile)
+            carry = _merge_top2(b1d, b1i, b2d, b2i, v1d, v1i, v2d, v2i)
+            return carry, None
+
+        init2 = (
+            jnp.full((qn,), _BIG, jnp.float32), jnp.zeros((qn,), jnp.int32),
+            jnp.full((qn,), _BIG, jnp.float32), jnp.zeros((qn,), jnp.int32),
+        )
+        (b1d, b1i, b2d, b2i), _ = jax.lax.scan(body2, init2, jnp.arange(n_tiles))
+        bd = jnp.stack([b1d, b2d], axis=1)
+        bi = jnp.stack([b1i, b2i], axis=1)
+        bd = jnp.where(query_mask[:, None], jnp.maximum(bd, 0.0), _BIG)
+        return bd, bi
 
     def body(carry, i):
         best_d, best_i = carry

@@ -145,3 +145,59 @@ def test_rows_voxel_matches_numpy_runs(rng):
         assert got_ring[i] == s
         np.testing.assert_allclose(got[i], e_xyz, atol=1e-5)
         np.testing.assert_allclose(got_rel[i], e_rel, atol=1e-5)
+
+
+def test_knn2_matches_general_path(rng):
+    """The k=2 double-argmin path must agree with the general top-k path."""
+    q = rng.normal(size=(128, 3)).astype(np.float32)
+    t = rng.normal(size=(2048, 3)).astype(np.float32)
+    tmask = rng.uniform(size=2048) > 0.1
+    d2, i2 = voxel.knn(
+        jnp.array(q), jnp.ones(128, bool), jnp.array(t), jnp.array(tmask),
+        k=2, tile=512,
+    )
+    full = ((q[:, None, :] - t[None, :, :]) ** 2).sum(-1)
+    full[:, ~tmask] = 1e30
+    want_i = np.argsort(full, axis=1)[:, :2]
+    want_d = np.take_along_axis(full, want_i, axis=1)
+    np.testing.assert_allclose(np.asarray(d2), want_d, rtol=1e-3, atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(i2), want_i)
+
+
+def test_ring_constrained_nn2(rng):
+    """Top-2 per class vs a numpy reference, and column 0 vs the top-1 op."""
+    from scaloam_tpu.ops import correspond
+
+    Q, T = 64, 1024
+    q = rng.normal(size=(Q, 3)).astype(np.float32) * 3
+    t = rng.normal(size=(T, 3)).astype(np.float32) * 3
+    tring = rng.integers(0, 8, size=T).astype(np.float32)
+    tmask = rng.uniform(size=T) > 0.1
+    qmask = rng.uniform(size=Q) > 0.1
+    ring_ref = rng.integers(0, 8, size=Q).astype(np.float32)
+    excl = rng.integers(0, T, size=Q).astype(np.int32)
+    nearby = 2.5
+
+    ds2, is2, do2, io2 = correspond.ring_constrained_nn2(
+        jnp.array(q), jnp.array(qmask), jnp.array(ring_ref), jnp.array(excl),
+        jnp.array(t), jnp.array(tmask), jnp.array(tring), nearby, tile=256,
+    )
+    ds1, is1, do1, io1 = correspond.ring_constrained_nn(
+        jnp.array(q), jnp.array(qmask), jnp.array(ring_ref), jnp.array(excl),
+        jnp.array(t), jnp.array(tmask), jnp.array(tring), nearby, tile=256,
+    )
+    np.testing.assert_allclose(np.asarray(ds2)[:, 0], np.asarray(ds1), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(do2)[:, 0], np.asarray(do1), rtol=1e-4)
+
+    full = ((q[:, None, :] - t[None, :, :]) ** 2).sum(-1)
+    dr = tring[None, :] - ring_ref[:, None]
+    same = (np.abs(dr) < 0.5) & (np.arange(T)[None, :] != excl[:, None]) & tmask
+    other = (np.abs(dr) >= 0.5) & (np.abs(dr) <= nearby) & tmask
+    for got_d, got_i, cls in ((ds2, is2, same), (do2, io2, other)):
+        want = np.where(cls, full, 1e30)
+        wi = np.argsort(want, axis=1)[:, :2]
+        wd = np.take_along_axis(want, wi, axis=1)
+        wd[~qmask] = 1e30
+        np.testing.assert_allclose(np.asarray(got_d), wd, rtol=1e-3, atol=1e-4)
+        ok = np.asarray(got_d) < 1e29
+        np.testing.assert_array_equal(np.asarray(got_i)[ok], wi[ok])
