@@ -39,7 +39,10 @@ def main():
     print("devices: " + str(jax.devices()), file=sys.stderr)
 
     # Pre-generate HDL-64-density scans along a trajectory (~128k rays).
-    n_frames = 12
+    # Every timed frame gets a NEVER-REPEATED scan: the remote-execution
+    # path dedups identical (executable, input-buffer) calls, so cycling a
+    # short scan list times cache hits, not compute (CLAUDE.md).
+    n_frames = 33
     world = synthetic.make_world(seed=3, n_boxes=60, extent=70.0)
     scans, _ = synthetic.simulate_trajectory(
         world, n_frames=n_frames, speed=1.2, radius=40.0,
@@ -51,6 +54,8 @@ def main():
     device_scans = [
         LidarScan.from_numpy(s, cfg.sensor.max_points) for s in scans
     ]
+    for d in device_scans:  # H2D off the timed path (prefetch in prod)
+        jax.block_until_ready(d.xyz)
 
     o_state = odometry_mod.init_state(cfg)
     m_state = mapping_mod.init_state(cfg)
@@ -67,17 +72,22 @@ def main():
     t0 = time.time()
     for s in device_scans[:3]:
         o_state, m_state, pose = frame(o_state, m_state, s)
-    jax.block_until_ready(pose.trans)
+    _ = np.asarray(pose.trans)  # drain the queue with a real fetch
     print(f"warmup+compile: {time.time() - t0:.1f}s", file=sys.stderr)
 
-    # Steady state: cycle the remaining scans.
-    n_timed = 30
+    # Steady state: every timed frame is a distinct, never-seen scan; one
+    # D2H fetch at the end. Frames chain through o/m_state so the device
+    # executes them sequentially; the final np.asarray (a real fetch, not
+    # just a ready-wait) closes the pipeline. Per-frame sync would add a
+    # ~23 ms tunnel RTT per frame that production pipelining hides
+    # (tools/bench_stride.py: 39.3/23.7/17.9/16.2 ms at stride 1/3/10/30).
+    n_timed = n_frames - 3
     t0 = time.time()
     for i in range(n_timed):
-        s = device_scans[3 + i % (n_frames - 3)]
-        o_state, m_state, pose = frame(o_state, m_state, s)
-    jax.block_until_ready(pose.trans)
+        o_state, m_state, pose = frame(o_state, m_state, device_scans[3 + i])
+    trans = np.asarray(pose.trans)
     dt = time.time() - t0
+    print(f"final pose trans: {trans}", file=sys.stderr)
     scans_per_sec = n_timed / dt
     print(
         f"steady state: {n_timed} frames in {dt:.2f}s "

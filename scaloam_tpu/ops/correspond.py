@@ -17,10 +17,11 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from scaloam_tpu.ops import voxel
 
-_BIG = jnp.float32(1e30)
+_BIG = np.float32(1e30)
 
 
 @functools.partial(jax.jit, static_argnames=("tile",))

@@ -37,8 +37,8 @@ from scaloam_tpu.config import SlamConfig
 from scaloam_tpu.types import FeatureCloud, LidarScan, RangeImage, ScanFeatures
 from scaloam_tpu.ops import voxel
 
-_NEG = jnp.float32(-1e30)
-_POS = jnp.float32(1e30)
+_NEG = np.float32(-1e30)
+_POS = np.float32(1e30)
 
 
 # ---------------------------------------------------------------------------

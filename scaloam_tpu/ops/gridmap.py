@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-_BIG = jnp.float32(1e30)
+_BIG = np.float32(1e30)
 
 
 class GridMap(NamedTuple):

@@ -24,10 +24,11 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from scaloam_tpu.config import ScanContextConfig
 
-_BIG = jnp.float32(1e10)
+_BIG = np.float32(1e10)
 
 
 @functools.partial(jax.jit, static_argnames=("num_ring", "num_sector", "max_radius", "lidar_height"))

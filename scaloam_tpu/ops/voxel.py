@@ -25,7 +25,7 @@ import jax
 import numpy as np
 import jax.numpy as jnp
 
-_BIG = jnp.float32(1e30)
+_BIG = np.float32(1e30)
 
 
 # ---------------------------------------------------------------------------

@@ -21,7 +21,7 @@ from jax.sharding import PartitionSpec as P
 from scaloam_tpu.ops.gridmap import GridMap, _flat_idx
 from scaloam_tpu.parallel.mesh import KF_AXIS
 
-_BIG = jnp.float32(1e30)
+_BIG = np.float32(1e30)
 
 
 def knn_grid_sharded(

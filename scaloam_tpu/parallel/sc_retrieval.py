@@ -15,13 +15,14 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import PartitionSpec as P
 
 from scaloam_tpu.config import ScanContextConfig
 from scaloam_tpu.ops import scancontext as sc_ops
 from scaloam_tpu.parallel.mesh import KF_AXIS
 
-_BIG = jnp.float32(1e10)
+_BIG = np.float32(1e10)
 
 
 def detect_loop_sharded(
