@@ -94,9 +94,7 @@ def _rerank(pose: Pose, pts: jax.Array, nb8: jax.Array, k: int):
     so they rank last with no masks. Returns (d [Q,k] ascending, nb [Q,k,3])."""
     pw = se3.apply(pose, pts)
     d8 = jnp.sum((nb8 - pw[:, None, :]) ** 2, axis=-1)  # [Q, 8]
-    negd, j = jax.lax.top_k(-d8, k)
-    nb = jnp.take_along_axis(nb8, j[:, :, None], axis=1)
-    return -negd, nb
+    return voxel.argmin_topk(d8, k, nb8)
 
 
 def _corner_correspond(pose: Pose, pts: jax.Array, pmask: jax.Array,

@@ -176,11 +176,12 @@ def knn_grid(
     cand = grid.pts[idx8]  # [Q, 8, K, 3]
     d2 = jnp.sum((cand - query[:, None, None, :]) ** 2, axis=-1)
     d2 = d2.reshape(query.shape[0], -1)
-    negd, j = jax.lax.top_k(-d2, k)
-    nn = jnp.take_along_axis(
-        cand.reshape(query.shape[0], -1, 3), j[:, :, None], axis=1
-    )
-    d_out = jnp.where(query_mask[:, None], -negd, _BIG)
+    # Iterated argmin + one-hot payload select: cheaper than
+    # top_k (a sort) + take_along_axis (re-lowers to another sort) for
+    # small k over these candidate widths (tools/profile_gridknn.py).
+    from scaloam_tpu.ops import voxel as _voxel
+    d_k, nn = _voxel.argmin_topk(d2, k, cand.reshape(query.shape[0], -1, 3))
+    d_out = jnp.where(query_mask[:, None], d_k, _BIG)
     return d_out, nn
 
 

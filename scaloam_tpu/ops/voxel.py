@@ -291,6 +291,42 @@ def voxel_downsample_rows(
     return out_xyz, got, out[:, -1], out_extra
 
 
+def argmin_topk(
+    d: jax.Array, k: int, payload: Optional[jax.Array] = None
+) -> Tuple[jax.Array, Optional[jax.Array]]:
+    """Ascending top-k by k iterated argmin compare-updates, with the
+    payload rows selected via one-hot matmul instead of take_along_axis.
+
+    On this TPU `lax.top_k` lowers to a sort and `take_along_axis` re-lowers
+    the permutation gather to ANOTHER sort (CLAUDE.md); k argmin passes +
+    one-hot einsums are measurably cheaper for small k over wide rows
+    (tools/profile_gridknn.py: 4.05 -> 3.47 ms on the mapping candidate
+    stage). Ties resolve to the lowest index, same as top_k.
+
+    Args: d [Q, M] values; payload optional [Q, M, C] rows to carry.
+    Returns (vals [Q, k], rows [Q, k, C] or None).
+    """
+    cols = jnp.arange(d.shape[1])[None, :]
+    vals, rows = [], []
+    dd = d
+    for _ in range(k):
+        j = jnp.argmin(dd, axis=1)
+        hot = cols == j[:, None]
+        vals.append(jnp.min(dd, axis=1))
+        if payload is not None:
+            rows.append(
+                jnp.einsum(
+                    "qm,qmc->qc", hot.astype(payload.dtype), payload,
+                    preferred_element_type=payload.dtype,
+                )
+            )
+        dd = jnp.where(hot, _BIG, dd)
+    return (
+        jnp.stack(vals, axis=1),
+        jnp.stack(rows, axis=1) if payload is not None else None,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Brute-force K-NN (the KD-tree replacement)
 # ---------------------------------------------------------------------------

@@ -1,6 +1,8 @@
-"""Measure per-dispatch overhead on the tunneled TPU and compare the
-3-executable front-end (features / odometry / mapping) against one fused
-jitted frame function."""
+"""Compare the 3-executable front-end (features / odometry / mapping)
+against one fused jitted frame function, with honest methodology
+(CLAUDE.md): unique scan per timed frame, np.asarray drains around every
+timed region.
+"""
 
 import os
 import sys
@@ -15,7 +17,6 @@ def main():
     import functools
 
     import jax
-    import jax.numpy as jnp
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
@@ -27,28 +28,23 @@ def main():
     from scaloam_tpu.types import LidarScan
     from scaloam_tpu.utils import synthetic
 
-    # 1. dispatch overhead
-    @jax.jit
-    def tiny(x):
-        return x + 1.0
-
-    x = jnp.zeros((8, 128))
-    tiny(x).block_until_ready()
-    t0 = time.time()
-    for _ in range(50):
-        x = tiny(x)
-    x.block_until_ready()
-    print(f"tiny dispatch: {(time.time()-t0)/50*1000:.2f} ms/call")
-
     cfg = config.kitti_hdl64()
+    N = 30
+    n_frames = 2 * (3 + 2 * N)
     world = synthetic.make_world(seed=3, n_boxes=60, extent=70.0)
     scans, _ = synthetic.simulate_trajectory(
-        world, n_frames=6, speed=1.2, radius=40.0,
+        world, n_frames=n_frames, speed=1.2, radius=40.0,
         n_scans=64, n_azimuth=2048, seed=7,
     )
-    device_scans = [
-        LidarScan.from_numpy(s, cfg.sensor.max_points) for s in scans
-    ]
+    ds = [LidarScan.from_numpy(s, cfg.sensor.max_points) for s in scans]
+    for d in ds:
+        jax.block_until_ready(d.xyz)
+    nxt = [0]
+
+    def take(n):
+        i = nxt[0]
+        nxt[0] = i + n
+        return ds[i : i + n]
 
     @functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0, 1))
     def fused_frame(o_state, m_state, scan, cfg):
@@ -59,28 +55,7 @@ def main():
         )
         return o_state, m_state, m_out.pose
 
-    o_state = odometry_mod.init_state(cfg)
-    m_state = mapping_mod.init_state(cfg)
-    t0 = time.time()
-    for s in device_scans[:3]:
-        o_state, m_state, pose = fused_frame(o_state, m_state, s, cfg)
-    jax.block_until_ready(pose.trans)
-    print(f"fused warmup+compile: {time.time()-t0:.1f}s")
-
-    n = 30
-    t0 = time.time()
-    for i in range(n):
-        s = device_scans[3 + i % 3]
-        o_state, m_state, pose = fused_frame(o_state, m_state, s, cfg)
-    jax.block_until_ready(pose.trans)
-    dt = time.time() - t0
-    print(f"FUSED: {1000*dt/n:.1f} ms/frame ({n/dt:.1f} scans/s)")
-
-    # separate (same as bench.py) for comparison
-    o_state = odometry_mod.init_state(cfg)
-    m_state = mapping_mod.init_state(cfg)
-
-    def frame(o_state, m_state, scan):
+    def sep_frame(o_state, m_state, scan):
         feats = features.extract_features(scan, cfg)
         o_state, o_out = odometry_mod.odometry_step(o_state, feats, cfg)
         m_state, m_out = mapping_mod.mapping_step(
@@ -88,16 +63,24 @@ def main():
         )
         return o_state, m_state, m_out.pose
 
-    for s in device_scans[:3]:
-        o_state, m_state, pose = frame(o_state, m_state, s)
-    jax.block_until_ready(pose.trans)
-    t0 = time.time()
-    for i in range(n):
-        s = device_scans[3 + i % 3]
-        o_state, m_state, pose = frame(o_state, m_state, s)
-    jax.block_until_ready(pose.trans)
-    dt = time.time() - t0
-    print(f"SEPARATE: {1000*dt/n:.1f} ms/frame ({n/dt:.1f} scans/s)")
+    for name, frame in (
+        ("FUSED", lambda o, m_, s: fused_frame(o, m_, s, cfg)),
+        ("SEPARATE", sep_frame),
+    ):
+        o_state = odometry_mod.init_state(cfg)
+        m_state = mapping_mod.init_state(cfg)
+        t0 = time.time()
+        for s in take(3):
+            o_state, m_state, pose = frame(o_state, m_state, s)
+        _ = np.asarray(pose.trans)
+        print(f"{name} warmup+compile: {time.time()-t0:.1f}s", file=sys.stderr)
+        for rep in range(2):
+            t0 = time.time()
+            for s in take(N):
+                o_state, m_state, pose = frame(o_state, m_state, s)
+            _ = np.asarray(pose.trans)
+            dt = (time.time() - t0) / N * 1000
+        print(f"{name}: {dt:.2f} ms/frame (second pass)")
 
 
 if __name__ == "__main__":

@@ -1,7 +1,8 @@
 """Per-sub-stage timing of extract_features with VARYING inputs (repeated
 identical calls get deduplicated somewhere in the remote-execution path and
-time as pure dispatch — bogus). Cycles 9 distinct scans through each
-sub-stage."""
+time as pure dispatch — bogus). Every timed call gets a NEVER-seen input,
+and timed regions are entered/exited via real np.asarray fetches
+(block_until_ready does not drain the execution queue — CLAUDE.md)."""
 
 import os
 import sys
@@ -28,25 +29,34 @@ sensor, feat = cfg.sensor, cfg.features
 S, W = sensor.n_scans, sensor.max_points_per_ring
 world = synthetic.make_world(seed=3, n_boxes=60, extent=70.0)
 scans, _ = synthetic.simulate_trajectory(
-    world, n_frames=9, speed=1.2, radius=40.0, n_scans=64, n_azimuth=2048, seed=7
+    world, n_frames=25, speed=1.2, radius=40.0, n_scans=64, n_azimuth=2048, seed=7
 )
 dscans = [LidarScan.from_numpy(s, cfg.sensor.max_points) for s in scans]
+for d in dscans:
+    jax.block_until_ready(d.xyz)
 NS = len(dscans)
 jj = np.arange(W)[None, :]
 NSUB = feat.n_subregions
 
 
-def timecycle(fn, inputs, n=27, warmup=None):
-    if warmup is None:
-        warmup = NS
-    for i in range(warmup):
-        out = fn(*inputs[i % NS])
-    jax.block_until_ready(jax.tree.leaves(out)[0])
-    t0 = time.time()
-    for i in range(n):
-        out = fn(*inputs[i % NS])
-    jax.block_until_ready(jax.tree.leaves(out)[0])
-    return (time.time() - t0) / n * 1000.0
+def _fetch(out):
+    leaf = jax.tree.leaves(out)[0]
+    _ = np.asarray(leaf.ravel()[0])
+
+
+def timecycle(fn, inputs):
+    # warmup on frame 0; two timed passes over disjoint unique frames,
+    # report the second.
+    out = fn(*inputs[0])
+    _fetch(out)
+    half = (NS - 1) // 2
+    for lo, hi in ((1, 1 + half), (1 + half, NS)):
+        t0 = time.time()
+        for i in range(lo, hi):
+            out = fn(*inputs[i])
+        _fetch(out)
+        dt = (time.time() - t0) / (hi - lo) * 1000.0
+    return dt
 
 
 t = timecycle(lambda s: F.extract_features(s, cfg), [(s,) for s in dscans])
