@@ -46,10 +46,14 @@ class FeatureConfig:
     neighbor_suppress_gap_sq: float = 0.05  # stop suppression at range jumps
     less_flat_voxel_size: float = 0.2  # VoxelGrid leaf on less-flat cloud
     use_pallas_selection: str = "auto"  # "auto" (TPU only) | "on" | "off"
-    # Feature cloud capacities (fixed shapes).
-    max_sharp: int = 1024
-    max_less_sharp: int = 8192
-    max_flat: int = 2048
+    # Feature cloud capacities (fixed shapes). sharp/flat are the exact
+    # theoretical pick bounds for 64 rings (2|4 per subregion x 6 x 64);
+    # less_sharp is ~1.8x the measured HDL-64 occupancy (~2.2k,
+    # tools/measure_counts.py) — the odometry NN sweeps scale linearly
+    # with these caps, so they are sized from need, not defensively.
+    max_sharp: int = 768
+    max_less_sharp: int = 4096
+    max_flat: int = 1536
     max_less_flat: int = 32768
 
 

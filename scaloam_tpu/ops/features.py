@@ -98,8 +98,10 @@ def _relative_time(xyz: jax.Array, valid: jax.Array, flip_valid: jax.Array):
     o1 = jnp.where(o1 < start_ori - pi / 2, o1 + 2 * pi, o1)
     o1 = jnp.where(o1 > start_ori + 3 * pi / 2, o1 - 2 * pi, o1)
     flip = (o1 - start_ori > pi) & flip_valid
-    # Sticky flip, exclusive (the flipping point itself still uses first-half).
-    half_passed = jnp.concatenate([jnp.array([False]), jnp.cumsum(flip)[:-1] > 0])
+    # Sticky flip, exclusive (the flipping point itself still uses
+    # first-half): i is past the flip iff i > first flipped index.
+    first_flip = jnp.argmax(flip)
+    half_passed = (jnp.arange(n) > first_flip) & jnp.any(flip)
 
     # Second-half adjustment.
     o2 = ori_raw + 2 * pi
@@ -141,15 +143,13 @@ def build_range_image(
     new_seg = jnp.concatenate(
         [jnp.ones((1,), bool), ring_s[1:] != ring_s[:-1]]
     )
-    seg_start = jax.lax.cummax(jnp.where(new_seg, iota, 0))
+    seg_start = voxel.cummax_blocked(jnp.where(new_seg, iota, 0))
     pos = iota - seg_start
 
-    # Per-ring counts by compare-reduce (65 x n, vectorized — no scatter).
-    counts_full = jnp.sum(
-        ring_s[None, :] == jnp.arange(n_scans, dtype=jnp.int32)[:, None],
-        axis=-1, dtype=jnp.int32,
-    )
-    counts = jnp.minimum(counts_full, width)
+    # Per-ring counts from the sorted keys: binary-search the ring
+    # boundaries (65 tiny queries) instead of a [65, n] compare-reduce.
+    bounds = jnp.searchsorted(ring_s, jnp.arange(n_scans + 1, dtype=jnp.int32))
+    counts = jnp.minimum((bounds[1:] - bounds[:-1]).astype(jnp.int32), width)
 
     ok = (ring_s < n_scans) & (pos < width)
     # Invalid rows go out of bounds -> dropped (no duplicate-index pile-up).

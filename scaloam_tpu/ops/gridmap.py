@@ -29,6 +29,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from scaloam_tpu.ops import voxel as _voxel
+
 _BIG = np.float32(1e30)
 
 
@@ -96,7 +98,7 @@ def insert(
     idx_s = idx[order]
     want_s = want[order]
     newseg = jnp.concatenate([jnp.array([True]), idx_s[1:] != idx_s[:-1]])
-    seg_start = jax.lax.cummax(jnp.where(newseg, np.arange(N), 0))
+    seg_start = _voxel.cummax_blocked(jnp.where(newseg, np.arange(N), 0))
     pos_in_seg = np.arange(N) - seg_start
     rank = jnp.zeros((N,), jnp.int32).at[order].set(pos_in_seg.astype(jnp.int32))
 
@@ -179,7 +181,6 @@ def knn_grid(
     # Iterated argmin + one-hot payload select: cheaper than
     # top_k (a sort) + take_along_axis (re-lowers to another sort) for
     # small k over these candidate widths (tools/profile_gridknn.py).
-    from scaloam_tpu.ops import voxel as _voxel
     d_k, nn = _voxel.argmin_topk(d2, k, cand.reshape(query.shape[0], -1, 3))
     d_out = jnp.where(query_mask[:, None], d_k, _BIG)
     return d_out, nn

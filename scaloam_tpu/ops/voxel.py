@@ -89,7 +89,7 @@ def voxel_downsample(
         ]
     )
     new_voxel = (~prev_same) & mask_s
-    seg_id = jnp.cumsum(new_voxel.astype(jnp.int32)) - 1  # first voxel -> 0
+    seg_id = cumsum_blocked(new_voxel.astype(jnp.int32)) - 1  # first voxel -> 0
     seg_id = jnp.where(mask_s, seg_id, capacity)  # invalid -> overflow bin
     seg_id = jnp.minimum(seg_id, capacity)
 
@@ -232,6 +232,12 @@ def voxel_downsample_rows(
     later emits one point per run rather than one per voxel — measured
     <0.2% of outputs on HDL-64 scans (runs/distinct = 1613/1611 per ring).
 
+    Overflow policy: when the total run count exceeds `capacity`, each ring
+    gets a slot budget proportional to its run count and decimates its runs
+    uniformly in azimuth (keep every ceil(runs/budget)-th). Under capacity
+    nothing is dropped. (A plain first-`capacity` cut would silently drop
+    the LAST rings wholesale — a whole elevation band.)
+
     Returns (xyz [capacity, 3], mask [capacity], ring [capacity] float,
     extra [capacity, E] or None); outputs are ring-major ordered.
     """
@@ -268,11 +274,20 @@ def voxel_downsample_rows(
             f = f & shift_up(f, step, fill=False)
         step *= 2
 
-    # Compact run starts (ring-major order) by cumsum position + one
-    # unique-index scatter — no sort, no permutation gather.
-    nr = new_run.reshape(-1)
-    run_id = jnp.cumsum(nr.astype(jnp.int32)) - 1
-    oidx = jnp.where(nr & (run_id < capacity), run_id, capacity)
+    # Compact run starts (ring-major order) by per-ring cumsum position +
+    # one unique-index scatter — no sort, no permutation gather. Slots are
+    # budgeted per ring proportionally to its run count; over-budget rings
+    # decimate uniformly in azimuth (see docstring).
+    rwr = jnp.cumsum(new_run.astype(jnp.int32), axis=1) - 1  # run# within ring
+    runs_r = jnp.sum(new_run.astype(jnp.int32), axis=1)  # [S]
+    total = jnp.maximum(jnp.sum(runs_r), 1)
+    budget = (capacity * runs_r) // total  # floor; >= runs_r when total <= cap
+    dec = jnp.where(budget > 0, -(-runs_r // jnp.maximum(budget, 1)), 1)
+    offs = jnp.cumsum(budget) - budget  # exclusive ring slot offsets
+    keep = new_run & (budget > 0)[:, None] & (rwr % dec[:, None] == 0)
+    slot = offs[:, None] + rwr // dec[:, None]  # < offs + budget by constr.
+    oidx = jnp.where(keep, slot, capacity).reshape(-1)
+    nr = keep.reshape(-1)
     ring_ch = jnp.broadcast_to(
         jnp.arange(S, dtype=jnp.float32)[:, None], (S, W)
     ).reshape(-1, 1)
@@ -289,6 +304,43 @@ def voxel_downsample_rows(
     out_xyz = mean_o[:, :3]
     out_extra = mean_o[:, 3:] if extra is not None else None
     return out_xyz, got, out[:, -1], out_extra
+
+
+def cumsum_blocked(v: jax.Array) -> jax.Array:
+    """1-D inclusive cumsum via a blocked 2-D scan: rows of 128 lanes scan
+    independently, then exclusive row offsets are added. ~3x cheaper than
+    the direct 1-D cumsum lowering at 10^5 elements on this TPU
+    (tools/micro_cumsum.py)."""
+    n = v.shape[0]
+    lanes = 128
+    pad = (-n) % lanes
+    vp = jnp.pad(v, (0, pad)) if pad else v
+    m = vp.reshape(-1, lanes)
+    within = jnp.cumsum(m, axis=1)
+    rows = within[:, -1]
+    offs = jnp.cumsum(rows) - rows
+    return (within + offs[:, None]).reshape(-1)[:n]
+
+
+def cummax_blocked(v: jax.Array) -> jax.Array:
+    """1-D inclusive cummax via the same blocked 2-D scan as
+    cumsum_blocked (row-wise cummax + exclusive row-offset max)."""
+    n = v.shape[0]
+    lanes = 128
+    pad = (-n) % lanes
+    lowest = (
+        jnp.iinfo(v.dtype).min
+        if jnp.issubdtype(v.dtype, jnp.integer)
+        else -jnp.inf
+    )
+    vp = jnp.pad(v, (0, pad), constant_values=lowest) if pad else v
+    m = vp.reshape(-1, lanes)
+    within = jax.lax.cummax(m, axis=1)
+    rows = within[:, -1]
+    offs = jnp.concatenate(
+        [jnp.full((1,), lowest, v.dtype), jax.lax.cummax(rows)[:-1]]
+    )
+    return jnp.maximum(within, offs[:, None]).reshape(-1)[:n]
 
 
 def argmin_topk(
