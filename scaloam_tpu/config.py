@@ -107,11 +107,12 @@ class MappingConfig:
     max_corner_map: int = 65536  # flattened-extract capacities (viz/artifacts)
     max_surf_map: int = 131072
     # Downsampled input capacities. Measured: KITTI-density HDL-64 scans
-    # produce ~1.8k corner / ~5k surf inputs after the 0.4/0.8 m filters
-    # (A-LOAM sees the same); the knn_grid gather cost scales linearly with
-    # these, so they are sized with ~1.6x headroom rather than defensively.
-    max_corner_input: int = 2560
-    max_surf_input: int = 8192
+    # produce ~1.6k corner / ~5.6k surf inputs after the 0.4/0.8 m filters
+    # (A-LOAM sees the same; tools/measure_counts.py); the knn_grid gather
+    # cost scales linearly with these, so they are sized with ~1.2-1.3x
+    # headroom rather than defensively.
+    max_corner_input: int = 2048
+    max_surf_input: int = 6656
 
 
 @dataclasses.dataclass(frozen=True)

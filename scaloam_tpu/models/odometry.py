@@ -69,33 +69,34 @@ def _sweep_candidates(rel: Pose, feats: ScanFeatures, state: OdometryState,
     same design as mapping's candidate cache). The 1-NN's ring (the
     same/other class boundary) is frozen at the sweep pose.
 
-    Returns per feature type the gathered candidate points [Q, 2, 3] per
-    class (any / same-ring / other-ring; corners have no same class)."""
+    Returns per feature type the candidate points [Q, 2, 3] per class
+    (any / same-ring / other-ring; corners have no same class). Candidate
+    points, rings, and indices ride the NN scans as one-hot-matmul
+    payloads — no target[idx] gathers anywhere (tools/profile_ringpass.py)."""
     ocfg = cfg.odometry
 
     # Tile sizes: measured on v5e, the scans are per-iteration-overhead
     # bound — 8192-wide tiles halve nn1, 4096 is the ring-pass sweet spot.
-    sharp = feats.sharp
-    q_pts = residuals.transform_points(rel, sharp.xyz)  # TransformToStart
-    tc = state.last_corner
-    dj2, ij2 = voxel.knn(q_pts, sharp.mask, tc.xyz, tc.mask, k=2, tile=8192)
-    ring_j = tc.ring[ij2[:, 0]]
-    _, _, _, io2 = correspond.ring_constrained_nn2(
-        q_pts, sharp.mask, ring_j, ij2[:, 0], tc.xyz, tc.mask, tc.ring,
-        ocfg.nearby_scan, tile=4096,
-    )
-    corner_cand = (tc.xyz[ij2], tc.xyz[io2])  # [Q, 2, 3] each
+    def sweep(q_cloud, t_cloud, want_same):
+        q = residuals.transform_points(rel, q_cloud.xyz)  # TransformToStart
+        iota = jnp.arange(t_cloud.xyz.shape[0], dtype=jnp.float32)
+        pl = jnp.concatenate(
+            [t_cloud.xyz, t_cloud.ring[:, None], iota[:, None]], axis=1
+        )
+        _, P = voxel.knn2_payload(
+            q, q_cloud.mask, t_cloud.xyz, t_cloud.mask, pl, tile=8192
+        )
+        any_pts = P[:, :, :3]
+        ring_j = P[:, 0, 3]
+        excl = P[:, 0, 4].astype(jnp.int32)  # exact: index < 2^24
+        _, p_same, _, p_other = correspond.ring_constrained_nn2_pts(
+            q, q_cloud.mask, ring_j, excl, t_cloud.xyz, t_cloud.mask,
+            t_cloud.ring, ocfg.nearby_scan, tile=4096,
+        )
+        return (any_pts, p_same, p_other) if want_same else (any_pts, p_other)
 
-    flat = feats.flat
-    qs_pts = residuals.transform_points(rel, flat.xyz)
-    ts = state.last_surf
-    sdj2, sij2 = voxel.knn(qs_pts, flat.mask, ts.xyz, ts.mask, k=2, tile=8192)
-    s_ring_j = ts.ring[sij2[:, 0]]
-    _, is2, _, io2s = correspond.ring_constrained_nn2(
-        qs_pts, flat.mask, s_ring_j, sij2[:, 0], ts.xyz, ts.mask, ts.ring,
-        ocfg.nearby_scan, tile=4096,
-    )
-    surf_cand = (ts.xyz[sij2], ts.xyz[is2], ts.xyz[io2s])
+    corner_cand = sweep(feats.sharp, state.last_corner, want_same=False)
+    surf_cand = sweep(feats.flat, state.last_surf, want_same=True)
     return corner_cand, surf_cand
 
 

@@ -86,6 +86,67 @@ def ring_constrained_nn(
 
 
 @functools.partial(jax.jit, static_argnames=("tile",))
+def ring_constrained_nn2_pts(
+    query: jax.Array,  # [Q, 3]
+    query_mask: jax.Array,  # [Q]
+    ring_ref: jax.Array,  # [Q] ring of the 1-NN (float)
+    exclude_idx: jax.Array,  # [Q] index of the 1-NN (excluded from same-ring)
+    target: jax.Array,  # [T, 3]
+    target_mask: jax.Array,  # [T]
+    target_ring: jax.Array,  # [T] float
+    nearby: float,
+    tile: int = 4096,
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Top-2 same-ring / nearby-other-ring companions, returning the
+    winner POINTS directly: (d_same [Q,2], p_same [Q,2,3], d_other [Q,2],
+    p_other [Q,2,3]). Point rows ride one-hot MXU matmuls inside the scan
+    — no index bookkeeping, no post-scan target[idx] gathers (~20% faster
+    than the index variant on the odometry surf sweep,
+    tools/profile_ringpass.py)."""
+    while target.shape[0] % tile != 0:
+        tile //= 2
+    n_tiles = target.shape[0] // tile
+    q2 = jnp.sum(query * query, axis=-1, keepdims=True)
+    qn = query.shape[0]
+    cols = jnp.arange(tile)[None, :]
+
+    def body(carry, i):
+        s_, o_ = carry[:4], carry[4:]
+        tgt = jax.lax.dynamic_slice_in_dim(target, i * tile, tile, axis=0)
+        tm = jax.lax.dynamic_slice_in_dim(target_mask, i * tile, tile, axis=0)
+        tr = jax.lax.dynamic_slice_in_dim(target_ring, i * tile, tile, axis=0)
+        t2 = jnp.sum(tgt * tgt, axis=-1)[None, :]
+        cross = jnp.dot(query, tgt.T, preferred_element_type=jnp.float32)
+        d = q2 + t2 - 2.0 * cross  # [Q, tile]
+        gidx = i * tile + cols
+        dr = tr[None, :] - ring_ref[:, None]
+        same = (jnp.abs(dr) < 0.5) & (gidx != exclude_idx[:, None])
+        other = (jnp.abs(dr) >= 0.5) & (jnp.abs(dr) <= nearby)
+        base = tm[None, :]
+        vs = voxel._tile_top2_payload(jnp.where(base & same, d, _BIG), tgt, cols)
+        vo = voxel._tile_top2_payload(jnp.where(base & other, d, _BIG), tgt, cols)
+        return (
+            voxel._merge_top2_payload(s_, vs)
+            + voxel._merge_top2_payload(o_, vo)
+        ), None
+
+    z_d = jnp.full((qn,), _BIG)
+    z_p = jnp.zeros((qn, 3))
+    init = (z_d, z_p, z_d, z_p, z_d, z_p, z_d, z_p)
+    (s1d, s1p, s2d, s2p, o1d, o1p, o2d, o2p), _ = jax.lax.scan(
+        body, init, jnp.arange(n_tiles)
+    )
+    ds = jnp.stack([s1d, s2d], axis=1)
+    do = jnp.stack([o1d, o2d], axis=1)
+    ds = jnp.where(query_mask[:, None], jnp.maximum(ds, 0.0), _BIG)
+    do = jnp.where(query_mask[:, None], jnp.maximum(do, 0.0), _BIG)
+    return (
+        ds, jnp.stack([s1p, s2p], axis=1),
+        do, jnp.stack([o1p, o2p], axis=1),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("tile",))
 def ring_constrained_nn2(
     query: jax.Array,  # [Q, 3]
     query_mask: jax.Array,  # [Q]

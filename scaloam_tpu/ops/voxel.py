@@ -519,6 +519,85 @@ def knn(
     return best_d, best_i
 
 
+def _tile_top2_payload(d: jax.Array, tgt_payload: jax.Array, cols: jax.Array):
+    """Smallest two entries per row of d [Q, tile] by double argmin, with
+    the winner ROWS of tgt_payload [tile, C] selected via one-hot matmul
+    (MXU) instead of index bookkeeping + post-scan gathers. Returns
+    (v1, p1 [Q, C], v2, p2)."""
+    j1 = jnp.argmin(d, axis=1)
+    v1 = jnp.min(d, axis=1)
+    h1 = (cols == j1[:, None]).astype(jnp.float32)
+    p1 = jnp.dot(h1, tgt_payload, preferred_element_type=jnp.float32)
+    dd = jnp.where(cols == j1[:, None], _BIG, d)
+    j2 = jnp.argmin(dd, axis=1)
+    v2 = jnp.min(dd, axis=1)
+    h2 = (cols == j2[:, None]).astype(jnp.float32)
+    p2 = jnp.dot(h2, tgt_payload, preferred_element_type=jnp.float32)
+    return v1, p1, v2, p2
+
+
+def _merge_top2_payload(b, v):
+    """Merge two per-row ascending (d, payload) pairs into the overall
+    smallest two."""
+    b1d, b1p, b2d, b2p = b
+    v1d, v1p, v2d, v2p = v
+    t = v1d < b1d
+    f1d = jnp.where(t, v1d, b1d)
+    f1p = jnp.where(t[:, None], v1p, b1p)
+    l1d = jnp.where(t, b1d, v1d)
+    l1p = jnp.where(t[:, None], b1p, v1p)
+    o2d = jnp.where(t, v2d, b2d)
+    o2p = jnp.where(t[:, None], v2p, b2p)
+    s = l1d < o2d
+    return f1d, f1p, jnp.where(s, l1d, o2d), jnp.where(s[:, None], l1p, o2p)
+
+
+@functools.partial(jax.jit, static_argnames=("tile",))
+def knn2_payload(
+    query: jax.Array,  # [Q, 3]
+    query_mask: jax.Array,  # [Q]
+    target: jax.Array,  # [T, 3]
+    target_mask: jax.Array,  # [T]
+    payload: jax.Array,  # [T, C] rows carried with the winners
+    tile: int = 8192,
+) -> Tuple[jax.Array, jax.Array]:
+    """2-NN that returns the winners' PAYLOAD ROWS instead of indices.
+
+    The index variant forces callers into post-scan `target[idx]` gathers
+    (irregular gathers are slow here) and in-scan take_along_axis; carrying
+    payload rows through one-hot MXU matmuls is ~20% faster end-to-end on
+    the odometry sweeps (tools/profile_ringpass.py). Carry float payloads
+    only (indices fit exactly as floats up to 2^24).
+
+    Returns (d [Q, 2] ascending squared distances, P [Q, 2, C])."""
+    while target.shape[0] % tile != 0:
+        tile //= 2
+    n_tiles = target.shape[0] // tile
+    q2 = jnp.sum(query * query, axis=-1, keepdims=True)
+    qn = query.shape[0]
+    C = payload.shape[1]
+    cols = jnp.arange(tile)[None, :]
+
+    def body(carry, i):
+        tgt = jax.lax.dynamic_slice_in_dim(target, i * tile, tile, axis=0)
+        tm = jax.lax.dynamic_slice_in_dim(target_mask, i * tile, tile, axis=0)
+        pl = jax.lax.dynamic_slice_in_dim(payload, i * tile, tile, axis=0)
+        t2 = jnp.sum(tgt * tgt, axis=-1)[None, :]
+        cross = jnp.dot(query, tgt.T, preferred_element_type=jnp.float32)
+        d = jnp.where(tm[None, :], q2 + t2 - 2.0 * cross, _BIG)
+        v = _tile_top2_payload(d, pl, cols)
+        return _merge_top2_payload(carry, v), None
+
+    init = (
+        jnp.full((qn,), _BIG), jnp.zeros((qn, C)),
+        jnp.full((qn,), _BIG), jnp.zeros((qn, C)),
+    )
+    (d1, p1, d2, p2), _ = jax.lax.scan(body, init, jnp.arange(n_tiles))
+    d = jnp.stack([d1, d2], axis=1)
+    d = jnp.where(query_mask[:, None], jnp.maximum(d, 0.0), _BIG)
+    return d, jnp.stack([p1, p2], axis=1)
+
+
 def nn1(
     query: jax.Array,
     query_mask: jax.Array,
