@@ -126,10 +126,11 @@ def build_range_image(
     (the reference's per-ring push_back, src/scanRegistration.cpp:253).
 
     TPU shape: ONE stable multi-operand sort carries all payloads (argsort +
-    permutation gathers each re-lower to another sort on TPU), per-ring
-    positions come from sorted-run arithmetic (no duplicate-index
-    segment_sum — those serialize), and everything lands in the image with
-    a single packed unique-index scatter."""
+    permutation gathers each re-lower to another sort on TPU). The sorted
+    stream is ring-grouped and azimuth-ordered, so each image row is a
+    CONTIGUOUS slice of it: placement is 65 dynamic row-slices (contiguous
+    gathers run ~40x faster than irregular ones here) — no scatter at all.
+    Ring boundaries come from a 65-query binary search on the sorted keys."""
     n = xyz.shape[0]
     key = jnp.where(valid, ring, n_scans)
     ops = jax.lax.sort(
@@ -137,35 +138,22 @@ def build_range_image(
         num_keys=1, is_stable=True,
     )
     ring_s = ops[0]
-    iota = jnp.arange(n, dtype=jnp.int32)
 
-    # Position within ring = offset from the ring's first sorted element.
-    new_seg = jnp.concatenate(
-        [jnp.ones((1,), bool), ring_s[1:] != ring_s[:-1]]
-    )
-    seg_start = voxel.cummax_blocked(jnp.where(new_seg, iota, 0))
-    pos = iota - seg_start
-
-    # Per-ring counts from the sorted keys: binary-search the ring
-    # boundaries (65 tiny queries) instead of a [65, n] compare-reduce.
     bounds = jnp.searchsorted(ring_s, jnp.arange(n_scans + 1, dtype=jnp.int32))
     counts = jnp.minimum((bounds[1:] - bounds[:-1]).astype(jnp.int32), width)
 
-    ok = (ring_s < n_scans) & (pos < width)
-    # Invalid rows go out of bounds -> dropped (no duplicate-index pile-up).
-    row = jnp.where(ok, ring_s, n_scans)
-    col = jnp.where(ok, pos, width)
-
-    # key == n_scans marks invalid points, so ok already implies validity.
-    packed = jnp.stack(
-        [ops[1], ops[2], ops[3], ops[4], ok.astype(jnp.float32)], axis=-1
-    )  # [n, 5] = x, y, z, rel_time, mask
-    grid = jnp.zeros((n_scans + 1, width, 5), jnp.float32).at[row, col].set(
-        packed, mode="drop"
-    )[:n_scans]
+    packed = jnp.stack([ops[1], ops[2], ops[3], ops[4]], axis=-1)  # [n, 4]
+    padded = jnp.concatenate(
+        [packed, jnp.zeros((width, 4), jnp.float32)], axis=0
+    )  # slice past n lands in zeros
+    grid = jax.vmap(
+        lambda b: jax.lax.dynamic_slice(padded, (b, 0), (width, 4))
+    )(bounds[:n_scans])  # [n_scans, width, 4]
+    mask = jnp.arange(width, dtype=jnp.int32)[None, :] < counts[:, None]
+    grid = jnp.where(mask[:, :, None], grid, 0.0)
     return RangeImage(
         xyz=grid[:, :, :3],
-        mask=grid[:, :, 4] > 0,
+        mask=mask,
         rel_time=grid[:, :, 3],
         count=counts,
     )

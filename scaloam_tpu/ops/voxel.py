@@ -287,23 +287,29 @@ def voxel_downsample_rows(
     keep = new_run & (budget > 0)[:, None] & (rwr % dec[:, None] == 0)
     slot = offs[:, None] + rwr // dec[:, None]  # < offs + budget by constr.
     oidx = jnp.where(keep, slot, capacity).reshape(-1)
-    nr = keep.reshape(-1)
     ring_ch = jnp.broadcast_to(
         jnp.arange(S, dtype=jnp.float32)[:, None], (S, W)
-    ).reshape(-1, 1)
-    payload = jnp.concatenate(
-        [acc.reshape(n, -1), cnt.reshape(n, 1), ring_ch], axis=-1
+    ).reshape(-1)
+    # Compact by ONE multi-operand sort on the slot key (dropped rows sort
+    # last behind the `capacity` sentinel) — ~5x cheaper than the
+    # equivalent [n -> capacity] row scatter on this TPU
+    # (tools/micro_lessflat.py: 1.1 ms -> 0.2 ms at the HDL-64 shape).
+    # Slots are unique and ascending ring-major, so sorted order preserves
+    # the ring-major output ordering; unassigned slots compact away.
+    av = acc.reshape(n, -1)
+    ops = (
+        [oidx]
+        + [av[:, i] for i in range(av.shape[1])]
+        + [cnt.reshape(-1), ring_ch]
     )
-    C = payload.shape[1]
-    out = jnp.zeros((capacity, C), jnp.float32).at[oidx].set(
-        payload, mode="drop"
-    )
-    got = jnp.zeros((capacity,), bool).at[oidx].set(nr, mode="drop")
-    cnt_o = jnp.maximum(out[:, -2], 1.0)[:, None]
-    mean_o = out[:, :-2] / cnt_o
+    s = jax.lax.sort(ops, num_keys=1)
+    got = s[0][:capacity] < capacity
+    cols = [o[:capacity] for o in s[1:]]
+    cnt_o = jnp.maximum(cols[-2], 1.0)[:, None]
+    mean_o = jnp.stack(cols[:-2], axis=-1) / cnt_o
     out_xyz = mean_o[:, :3]
     out_extra = mean_o[:, 3:] if extra is not None else None
-    return out_xyz, got, out[:, -1], out_extra
+    return out_xyz, got, cols[-1][:capacity], out_extra
 
 
 def cumsum_blocked(v: jax.Array) -> jax.Array:

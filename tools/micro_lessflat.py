@@ -1,0 +1,114 @@
+"""(a) less-flat compaction: unique-index scatter vs multi-operand sort
+at the real shape (149760 rows -> 32768 slots, 6 payload cols).
+(b) stage-1 sub-attribution: validity only / +ring / +reltime.
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from scaloam_tpu import config
+from scaloam_tpu.ops import features as F
+from scaloam_tpu.types import LidarScan
+from scaloam_tpu.utils import synthetic
+
+cfg = config.kitti_hdl64()
+sensor = cfg.sensor
+S, W = sensor.n_scans, sensor.max_points_per_ring
+n = S * W
+CAP = 32768
+rng = np.random.default_rng(0)
+
+# Realistic oidx: ~60% of rows are kept runs with increasing slots.
+def make_inputs(seed):
+    r = np.random.default_rng(seed)
+    keep = r.uniform(size=n) < 0.2
+    slots = np.cumsum(keep) - 1
+    oidx = np.where(keep & (slots < CAP), slots, CAP).astype(np.int32)
+    payload = r.uniform(size=(n, 6)).astype(np.float32)
+    return jnp.asarray(oidx), jnp.asarray(payload)
+
+ins = [make_inputs(i) for i in range(25)]
+for a, b in ins:
+    jax.block_until_ready(a)
+
+
+@jax.jit
+def v_scatter(oidx, payload):
+    out = jnp.zeros((CAP, 6), jnp.float32).at[oidx].set(payload, mode="drop")
+    return out[0, 0] + out[-1, -1]
+
+
+@jax.jit
+def v_sort(oidx, payload):
+    ops = [oidx] + [payload[:, i] for i in range(6)]
+    s = jax.lax.sort(ops, num_keys=1)
+    out = jnp.stack([s[i + 1][:CAP] for i in range(6)], axis=-1)
+    return out[0, 0] + out[-1, -1]
+
+
+world = synthetic.make_world(seed=3, n_boxes=60, extent=70.0)
+scans, _ = synthetic.simulate_trajectory(
+    world, n_frames=25, speed=1.2, radius=40.0, n_scans=64, n_azimuth=2048,
+    seed=7,
+)
+dscans = [LidarScan.from_numpy(s, cfg.sensor.max_points) for s in scans]
+for d in dscans:
+    jax.block_until_ready(d.xyz)
+
+
+@jax.jit
+def s1_valid(xyz, mask):
+    finite = jnp.all(jnp.isfinite(xyz), axis=-1)
+    rng_sq = jnp.sum(xyz * xyz, axis=-1)
+    valid = mask & finite & (rng_sq >= sensor.minimum_range**2)
+    return jnp.sum(valid)
+
+
+@jax.jit
+def s1_ring(xyz, mask):
+    finite = jnp.all(jnp.isfinite(xyz), axis=-1)
+    rng_sq = jnp.sum(xyz * xyz, axis=-1)
+    valid = mask & finite & (rng_sq >= sensor.minimum_range**2)
+    ring, ring_ok = F._ring_id(xyz, sensor.lidar_type, S)
+    return jnp.sum(valid) + jnp.sum(ring) + jnp.sum(ring_ok)
+
+
+@jax.jit
+def s1_rel(xyz, mask):
+    finite = jnp.all(jnp.isfinite(xyz), axis=-1)
+    rng_sq = jnp.sum(xyz * xyz, axis=-1)
+    valid = mask & finite & (rng_sq >= sensor.minimum_range**2)
+    ring, ring_ok = F._ring_id(xyz, sensor.lidar_type, S)
+    rel = F._relative_time(xyz, valid, valid & ring_ok)
+    return jnp.sum(valid) + jnp.sum(ring) + jnp.sum(rel)
+
+
+def timeit(name, fn, inputs):
+    out = fn(*inputs[0])
+    _ = np.asarray(out)
+    for lo, hi in ((1, 13), (13, 25)):
+        t0 = time.time()
+        for i in range(lo, hi):
+            out = fn(*inputs[i])
+        _ = np.asarray(out)
+        dt = (time.time() - t0) / (hi - lo) * 1000
+    print(f"{name:10s}: {dt:6.2f} ms")
+
+
+timeit("scatter", v_scatter, ins)
+timeit("sortcomp", v_sort, ins)
+si = [(d.xyz, d.mask) for d in dscans]
+timeit("s1 valid", s1_valid, si)
+timeit("s1 +ring", s1_ring, si)
+timeit("s1 +rel", s1_rel, si)
