@@ -200,6 +200,10 @@ def voxel_downsample_packed(
             f = f & shift_up(f, step, fill=False)
         step *= 2
 
+    # Compact voxel starts: argsort for the start positions, then gather
+    # only `capacity` rows. (A multi-operand sort carrying the window sums
+    # measured SLOWER here — the capacity-row gather moves far less data
+    # than payload-carrying the full array through a sort.)
     pos = np.arange(n, dtype=np.int32)
     start_pos = jnp.argsort(jnp.where(new_voxel, pos, n + pos))[:capacity]
     sp_c = jnp.minimum(start_pos, n - 1)
@@ -636,15 +640,38 @@ def compact(
     """Stable-compact valid rows to the front, truncated/padded to capacity.
 
     Returns (new_mask, *compacted_arrays). The reference's dynamic
-    push_back clouds become this: gather valid rows first, pad with zeros."""
+    push_back clouds become this. ONE multi-operand sort carries every
+    payload column (argsort + each gather-by-permutation re-lowers to
+    another sort on this TPU)."""
     n = mask.shape[0]
+    iota = jnp.arange(n, dtype=jnp.int32)
     # Stable order: valid first, preserving index order.
-    key = jnp.where(mask, jnp.arange(n, dtype=jnp.int32), n + jnp.arange(n, dtype=jnp.int32))
-    order = jnp.argsort(key)
-    sel = order[jnp.minimum(jnp.arange(capacity), n - 1)]
-    new_mask = (jnp.arange(capacity) < n) & mask[sel]
-    outs = tuple(jnp.where(_bcast(new_mask, a.ndim), a[sel], 0) for a in arrays)
-    return (new_mask,) + outs
+    key = jnp.where(mask, iota, n + iota)
+    cols = []
+    layout = []  # (ndim, ncols, dtype) per array
+    for a in arrays:
+        if a.ndim == 1:
+            cols.append(a)
+            layout.append((1, 1, a.dtype))
+        else:
+            cols.extend(a[:, i] for i in range(a.shape[1]))
+            layout.append((2, a.shape[1], a.dtype))
+    s = jax.lax.sort([key] + cols, num_keys=1)
+    pad = max(0, capacity - n)
+    new_mask = s[0][:capacity] < n
+    if pad:
+        new_mask = jnp.pad(new_mask, (0, pad))
+    outs = []
+    i = 1
+    for nd, nc, _ in layout:
+        got = [
+            jnp.pad(s[i + c][:capacity], (0, pad)) if pad else s[i + c][:capacity]
+            for c in range(nc)
+        ]
+        i += nc
+        out = got[0] if nd == 1 else jnp.stack(got, axis=-1)
+        outs.append(jnp.where(_bcast(new_mask, out.ndim), out, 0))
+    return (new_mask,) + tuple(outs)
 
 
 def _bcast(mask: jax.Array, ndim: int) -> jax.Array:
