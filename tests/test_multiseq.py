@@ -1,0 +1,91 @@
+"""Data-parallel multi-sequence front-end (parallel/multiseq.py): 8
+sequences sharded one-per-device over the virtual CPU mesh must produce
+the same poses as running each sequence alone."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from scaloam_tpu import config
+from scaloam_tpu.models import mapping as mapping_mod
+from scaloam_tpu.models import odometry as odometry_mod
+from scaloam_tpu.ops import features
+from scaloam_tpu.parallel import mesh as mesh_mod
+from scaloam_tpu.parallel import multiseq
+from scaloam_tpu.types import LidarScan
+from scaloam_tpu.utils import synthetic
+
+
+def _small_cfg():
+    import dataclasses
+
+    cfg = config.vlp16()
+    return cfg.replace(
+        sensor=dataclasses.replace(
+            cfg.sensor, max_points=16384, max_points_per_ring=1024
+        ),
+    )
+
+
+@pytest.fixture(scope="module")
+def seq_data():
+    cfg = _small_cfg()
+    world = synthetic.make_world(seed=5, n_boxes=40, extent=50.0)
+    n_seq, n_frames = 8, 3
+    seqs = []
+    for s in range(n_seq):
+        scans, _ = synthetic.simulate_trajectory(
+            world, n_frames=n_frames, speed=1.0 + 0.1 * s, radius=25.0,
+            n_scans=cfg.sensor.n_scans, n_azimuth=900, seed=100 + s,
+        )
+        seqs.append([LidarScan.from_numpy(x, cfg.sensor.max_points) for x in scans])
+    return cfg, seqs
+
+
+def test_multiseq_matches_sequential(seq_data):
+    cfg, seqs = seq_data
+    n_seq = len(seqs)
+    n_frames = len(seqs[0])
+    mesh = mesh_mod.make_mesh(n_seq)
+
+    # Batched, sharded one sequence per device.
+    o_b, m_b = multiseq.init_states(n_seq, cfg)
+    o_b, m_b = multiseq.shard_states((o_b, m_b), mesh)
+    batch_poses = []
+    for f in range(n_frames):
+        xyz = jnp.stack([seqs[s][f].xyz for s in range(n_seq)])
+        mask = jnp.stack([seqs[s][f].mask for s in range(n_seq)])
+        o_b, m_b, odom_w, map_pose = multiseq.frame_batch(
+            o_b, m_b, xyz, mask, cfg, mesh=mesh
+        )
+        batch_poses.append(map_pose)
+    final_batch = np.asarray(batch_poses[-1].trans)
+
+    # Sequential references (a couple of sequences suffice).
+    for s in (0, 3, 7):
+        o_state = odometry_mod.init_state(cfg)
+        m_state = mapping_mod.init_state(cfg)
+        for f in range(n_frames):
+            feats = features.extract_features(seqs[s][f], cfg)
+            o_state, o_out = odometry_mod.odometry_step(o_state, feats, cfg)
+            m_state, m_out = mapping_mod.mapping_step(
+                m_state, o_out.world, feats.less_sharp, feats.less_flat, cfg
+            )
+        ref = np.asarray(m_out.pose.trans)
+        # vmapped lowering reorders float reductions; poses agree to ~mm.
+        np.testing.assert_allclose(final_batch[s], ref, rtol=0, atol=2e-3)
+
+
+def test_multiseq_is_sharded(seq_data):
+    cfg, seqs = seq_data
+    n_seq = len(seqs)
+    mesh = mesh_mod.make_mesh(n_seq)
+    o_b, m_b = multiseq.init_states(n_seq, cfg)
+    o_b, m_b = multiseq.shard_states((o_b, m_b), mesh)
+    # The map grids are the big buffers: verify they are split over devices.
+    shards = o_b.world.trans.sharding.device_set
+    assert len(shards) == n_seq
+    g = m_b.corner_grid.pts
+    assert len(g.sharding.device_set) == n_seq
+    assert g.sharding.shard_shape(g.shape)[0] == 1  # one sequence per device
