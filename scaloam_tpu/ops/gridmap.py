@@ -118,7 +118,10 @@ def insert(
     # Reset cells are cleared to the far sentinel BEFORE the new points land:
     # knn_grid has no validity masks, so a reset cell's leftover slots must
     # not hold the previous epoch's points (they could be near again after a
-    # revisit). One elementwise full-map select — cheap, no scatter.
+    # revisit). One elementwise full-map select — cheap (the donated buffer
+    # updates in place). A row-scatter of sentinels at just the reset cells
+    # measured 3.5 ms/frame SLOWER: rows parked on the drop slot still
+    # serialize as duplicate-index scatter traffic.
     base_pts = jnp.where((reset > 0)[:, None, None], _FAR, grid.pts)
     pts = base_pts.at[write_idx, jnp.where(ok, pos, 0)].set(
         xyz, mode="drop"
