@@ -201,3 +201,46 @@ def test_ring_constrained_nn2(rng):
         np.testing.assert_allclose(np.asarray(got_d), wd, rtol=1e-3, atol=1e-4)
         ok = np.asarray(got_d) < 1e29
         np.testing.assert_array_equal(np.asarray(got_i)[ok], wi[ok])
+
+
+def test_rows_voxel_overflow_decimates_proportionally(rng):
+    """When runs exceed capacity, every ring keeps a budget proportional to
+    its run count, decimated uniformly in azimuth — no ring is dropped
+    wholesale (the failure mode of a plain first-capacity cut)."""
+    S, W = 8, 512
+    # every point its own voxel -> runs = valid points
+    x = np.arange(W, dtype=np.float32) * 1.0
+    img = np.stack(
+        [np.stack([x, np.full(W, s, np.float32), np.zeros(W, np.float32)],
+                  axis=-1) for s in range(S)]
+    )
+    mask = np.ones((S, W), bool)
+    capacity = 1024  # 4096 runs -> 4x over budget
+    xyz, m, ring, _ = voxel.voxel_downsample_rows(
+        jnp.array(img), jnp.array(mask), 0.5, capacity,
+    )
+    xyz, m, ring = map(np.asarray, (xyz, m, ring))
+    kept_ring = ring[m].astype(int)
+    # every ring survives with ~equal share
+    counts = np.bincount(kept_ring, minlength=S)
+    assert np.all(counts > 0)
+    assert counts.max() - counts.min() <= 1
+    # kept points are azimuth-uniform: consecutive kept x's step by ~4
+    for s in range(S):
+        xs = np.sort(xyz[m][kept_ring == s][:, 0])
+        steps = np.diff(xs)
+        assert np.all(steps >= 3.0) and np.all(steps <= 5.0)
+
+
+def test_rows_voxel_under_capacity_keeps_everything(rng):
+    S, W = 4, 128
+    x = np.arange(W, dtype=np.float32)
+    img = np.stack(
+        [np.stack([x, np.full(W, s, np.float32), np.zeros(W, np.float32)],
+                  axis=-1) for s in range(S)]
+    )
+    mask = np.ones((S, W), bool)
+    xyz, m, ring, _ = voxel.voxel_downsample_rows(
+        jnp.array(img), jnp.array(mask), 0.5, 1024,
+    )
+    assert int(np.asarray(m).sum()) == S * W
