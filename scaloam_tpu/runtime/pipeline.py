@@ -62,7 +62,10 @@ class AsyncSlamPipeline:
         while True:
             item = self.scan_q.get(timeout=0.2)
             if item is None:
-                if self._stop.is_set() and len(self.scan_q) == 0:
+                # Exit ONLY on closed-and-drained input: checking a stop
+                # flag against a momentarily-empty queue races with a slow
+                # upstream and shuts the stage down mid-stream.
+                if self.scan_q.closed and len(self.scan_q) == 0:
                     self.feat_q.close()
                     return
                 continue
@@ -75,7 +78,7 @@ class AsyncSlamPipeline:
         while True:
             item = self.feat_q.get(timeout=0.2)
             if item is None:
-                if self._stop.is_set() and len(self.feat_q) == 0:
+                if self.feat_q.closed and len(self.feat_q) == 0:
                     self.map_q.close()
                     return
                 continue
@@ -91,7 +94,7 @@ class AsyncSlamPipeline:
         while True:
             item = get(timeout=0.2)
             if item is None:
-                if self._stop.is_set() and len(self.map_q) == 0:
+                if self.map_q.closed and len(self.map_q) == 0:
                     self.kf_q.close()
                     return
                 continue
@@ -110,7 +113,7 @@ class AsyncSlamPipeline:
         while True:
             item = self.kf_q.get(timeout=0.2)
             if item is None:
-                if self._stop.is_set() and len(self.kf_q) == 0:
+                if self.kf_q.closed and len(self.kf_q) == 0:
                     return
                 continue
             t, mapped_pose, feats = item

@@ -66,6 +66,11 @@ class BoundedQueue:
             self._closed = True
             self._cv.notify_all()
 
+    @property
+    def closed(self) -> bool:
+        with self._cv:
+            return self._closed
+
     def __len__(self) -> int:
         with self._cv:
             return len(self._dq)

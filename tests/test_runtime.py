@@ -73,3 +73,32 @@ def test_async_pipeline_matches_sync_odometry():
     assert pipe.dropped_frames == 0
     for (t, got), want in zip(pipe.odom_results, sync_t):
         np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_async_pipeline_drains_backlog_on_finish():
+    """finish() right after feeding must DRAIN, not kill, the stages: exit
+    conditions are closed-and-empty input queues, never a stop flag checked
+    against a momentarily-empty queue (that races with a slow upstream and
+    used to shut every stage down mid-stream)."""
+    from scaloam_tpu.runtime.pipeline import AsyncSlamPipeline
+    from scaloam_tpu.utils import synthetic
+
+    cfg = config.vlp16()
+    cfg = cfg.replace(
+        sensor=dataclasses.replace(
+            cfg.sensor, max_points=8192, max_points_per_ring=512
+        ),
+    )
+    world = synthetic.make_world(seed=2, n_boxes=20, extent=40.0)
+    scans, _ = synthetic.simulate_trajectory(
+        world, n_frames=3, speed=0.8, radius=20.0,
+        n_scans=cfg.sensor.n_scans, n_azimuth=450, seed=11,
+    )
+    pipe = AsyncSlamPipeline(cfg, drop_backlog=False)
+    pipe.start()
+    for f, s in enumerate(scans):
+        pipe.feed(0.1 * f, s)
+    pipe.finish(timeout=300.0)  # immediately: backlog must still drain
+    assert len(pipe.odom_results) == len(scans)
+    assert len(pipe.mapped_results) == len(scans)
+    assert pipe.dropped_frames == 0
