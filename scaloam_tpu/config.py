@@ -241,14 +241,26 @@ def kitti_hdl64() -> SlamConfig:
 def mulran_os1_64() -> SlamConfig:
     """launch/aloam_mulran.launch: OS1-64, min_range 0.5, sc_dist 0.2, kf gap 1 m.
 
-    The OS1-64 fires exactly 1024 or 2048 azimuth columns per revolution."""
-    return _preset(
+    The OS1-64 fires exactly 1024 or 2048 azimuth columns per revolution.
+
+    Keyframe capacity is sized for the MulRan courses the reference
+    benchmarks (README.md:54-67): Riverside01 is ~7 km, which at the 1 m
+    keyframe gap yields ~7k keyframes — 8192 slots up front avoids the
+    mid-run re-jit the tiered growth path would otherwise pay
+    (models/posegraph.py grow)."""
+    cfg = _preset(
         SensorConfig(
             lidar_type="OS1-64", n_scans=64, minimum_range=0.5,
             max_points_per_ring=2048,
         ),
         sc_dist=0.2,
         kf_gap=1.0,
+    )
+    return cfg.replace(
+        pgo=dataclasses.replace(
+            cfg.pgo, max_keyframes=8192, max_loops=2048
+        ),
+        scancontext=dataclasses.replace(cfg.scancontext, max_keyframes=8192),
     )
 
 

@@ -37,6 +37,7 @@ class OdometryState(NamedTuple):
     world: Pose  # accumulated odometry ("/laser_odom_to_init")
     initialized: jax.Array  # bool
     frame_idx: jax.Array  # int32
+    feat_overflow: jax.Array  # int32 running max of ScanFeatures.overflow
 
 
 class OdometryOutput(NamedTuple):
@@ -55,6 +56,7 @@ def init_state(cfg: SlamConfig) -> OdometryState:
         world=Pose.identity(),
         initialized=jnp.array(False),
         frame_idx=jnp.array(0, jnp.int32),
+        feat_overflow=jnp.array(0, jnp.int32),
     )
 
 
@@ -186,6 +188,7 @@ def odometry_step(
         world=world,
         initialized=jnp.array(True),
         frame_idx=state.frame_idx + 1,
+        feat_overflow=jnp.maximum(state.feat_overflow, feats.overflow),
     )
     return new_state, OdometryOutput(
         world=world, rel=rel, n_corner_corr=n_c, n_surf_corr=n_s

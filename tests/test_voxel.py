@@ -1,6 +1,7 @@
 """voxel_downsample + brute-force knn vs plain numpy references."""
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from scaloam_tpu.ops import voxel
@@ -110,7 +111,7 @@ def test_rows_voxel_matches_numpy_runs(rng):
     rel = rng.uniform(size=(S, W)).astype(np.float32)
 
     leaf, capacity, window = 0.2, 4096, 8
-    xyz, m, ring, extra = voxel.voxel_downsample_rows(
+    xyz, m, ring, extra, _drop = voxel.voxel_downsample_rows(
         jnp.array(img), jnp.array(mask), leaf, capacity,
         extra=jnp.array(rel)[:, :, None], mean_window=window,
     )
@@ -216,7 +217,7 @@ def test_rows_voxel_overflow_decimates_proportionally(rng):
     )
     mask = np.ones((S, W), bool)
     capacity = 1024  # 4096 runs -> 4x over budget
-    xyz, m, ring, _ = voxel.voxel_downsample_rows(
+    xyz, m, ring, _, _drop = voxel.voxel_downsample_rows(
         jnp.array(img), jnp.array(mask), 0.5, capacity,
     )
     xyz, m, ring = map(np.asarray, (xyz, m, ring))
@@ -240,7 +241,114 @@ def test_rows_voxel_under_capacity_keeps_everything(rng):
                   axis=-1) for s in range(S)]
     )
     mask = np.ones((S, W), bool)
-    xyz, m, ring, _ = voxel.voxel_downsample_rows(
+    xyz, m, ring, _, _drop = voxel.voxel_downsample_rows(
         jnp.array(img), jnp.array(mask), 0.5, 1024,
     )
     assert int(np.asarray(m).sum()) == S * W
+
+
+def test_rows_voxel_pads_to_capacity_when_small():
+    """ADVICE r1 (medium): when S*W < capacity the outputs must still be
+    [capacity]-shaped (padded + masked), or downstream pytree shapes
+    (OdometryState.last_surf) silently retrace."""
+    S, W, capacity = 2, 64, 1024
+    x = np.arange(W, dtype=np.float32)
+    img = np.stack(
+        [np.stack([x, np.full(W, s, np.float32), np.zeros(W, np.float32)],
+                  axis=-1) for s in range(S)]
+    )
+    mask = np.ones((S, W), bool)
+    xyz, m, ring, _, drop = voxel.voxel_downsample_rows(
+        jnp.array(img), jnp.array(mask), 0.5, capacity,
+    )
+    assert xyz.shape == (capacity, 3)
+    assert m.shape == (capacity,)
+    assert ring.shape == (capacity,)
+    assert int(np.asarray(m).sum()) == S * W
+    assert not bool(np.asarray(m)[S * W:].any())
+    assert int(drop) == 0
+
+
+def test_rows_voxel_overflow_sparse_ring_keeps_a_slot():
+    """ADVICE r1 (low): a ring with runs < total/capacity must not be
+    dropped wholesale under overflow — every nonzero ring gets >= 1 slot."""
+    S, W, capacity = 8, 512, 256
+    x = np.arange(W, dtype=np.float32)
+    img = np.stack(
+        [np.stack([x, np.full(W, s, np.float32), np.zeros(W, np.float32)],
+                  axis=-1) for s in range(S)]
+    )
+    mask = np.ones((S, W), bool)
+    # ring 0 has a single valid point (1 run); the rest are dense.
+    mask[0, 1:] = False
+    xyz, m, ring, _, drop = voxel.voxel_downsample_rows(
+        jnp.array(img), jnp.array(mask), 0.5, capacity,
+    )
+    m, ring = np.asarray(m), np.asarray(ring)
+    kept = np.bincount(ring[m].astype(int), minlength=S)
+    assert kept[0] >= 1  # sparse ring survives
+    assert kept.sum() <= capacity
+    total_runs = 1 + 7 * W
+    assert int(drop) == total_runs - int(kept.sum())
+
+
+def test_rows_voxel_dropped_count():
+    S, W, capacity = 4, 512, 256
+    x = np.arange(W, dtype=np.float32)
+    img = np.stack(
+        [np.stack([x, np.full(W, s, np.float32), np.zeros(W, np.float32)],
+                  axis=-1) for s in range(S)]
+    )
+    mask = np.ones((S, W), bool)
+    _, m, _, _, drop = voxel.voxel_downsample_rows(
+        jnp.array(img), jnp.array(mask), 0.5, capacity,
+    )
+    assert int(drop) == S * W - int(np.asarray(m).sum())
+    assert int(drop) > 0
+
+
+def test_payload_matmuls_lower_at_highest_precision():
+    """ADVICE r1 (high): the one-hot payload selections must lower with
+    precision=HIGHEST — TPU f32 matmuls otherwise execute single-pass bf16
+    and quantize the carried coordinates/float-index channels. CPU runs
+    can't observe the quantization, so assert it in the lowered HLO."""
+    from scaloam_tpu.ops import correspond
+
+    q = jnp.zeros((8, 3))
+    t = jnp.zeros((64, 3))
+    pl = jnp.zeros((64, 5))
+    txt = jax.jit(
+        lambda *a: voxel.knn2_payload(*a, tile=64)
+    ).lower(q, jnp.ones(8, bool), t, jnp.ones(64, bool), pl).as_text()
+    assert "HIGHEST" in txt
+
+    txt = jax.jit(
+        lambda d, p: voxel.argmin_topk(d, 2, p)
+    ).lower(jnp.zeros((8, 64)), jnp.zeros((8, 64, 3))).as_text()
+    assert "HIGHEST" in txt
+
+    txt = jax.jit(
+        lambda *a: correspond.ring_constrained_nn2_pts(*a, tile=64)
+    ).lower(
+        q, jnp.ones(8, bool), jnp.zeros(8), jnp.zeros(8, jnp.int32),
+        t, jnp.ones(64, bool), jnp.zeros(64), 2.5,
+    ).as_text()
+    assert "HIGHEST" in txt
+
+
+def test_knn2_payload_float_index_roundtrip():
+    """Float-encoded indices up to the production capacity (32768) must
+    round-trip bit-exactly through the one-hot payload select."""
+    rng = np.random.default_rng(3)
+    T = 256
+    t = rng.normal(size=(T, 3)).astype(np.float32) * 5
+    q = t[rng.integers(0, T, size=32)] + 0.01
+    # encode large index-like floats in the payload
+    big = (np.arange(T, dtype=np.float32) + 32512.0)[:, None]
+    pl = np.concatenate([t, big], axis=1).astype(np.float32)
+    _, P = voxel.knn2_payload(
+        jnp.array(q), jnp.ones(32, bool), jnp.array(t),
+        jnp.ones(T, bool), jnp.array(pl), tile=128,
+    )
+    got = np.asarray(P[:, 0, 3])
+    assert np.all(got == np.round(got))  # exact integers, no bf16 rounding
