@@ -151,7 +151,10 @@ class LoopClosureConfig:
     # icp_point2point_grid) with the submap in a torus grid.
     coarse_source_points: int = 2048
     coarse_target_points: int = 8192
-    coarse_iterations: int = 10
+    # 30 iterations closes multi-meter drifted inits to <0.5 m on real
+    # KAIST03 pairs (the reference lets PCL run up to 100, :521); 10 was
+    # only enough for ~2 m offsets.
+    coarse_iterations: int = 30
     icp_cell_size: float = 2.0
     icp_reach: float = 2.0
     icp_grid_xy: int = 64
@@ -179,7 +182,11 @@ class PGOConfig:
     # Warm-started solves accumulate across ticks, so few iterations per
     # tick at a keyframe-level cadence matches iSAM2's incremental behavior.
     gn_iterations: int = 3
-    lm_damping: float = 1e-6
+    # Tiny: with the exact-chain CG preconditioner (ops/blocktri.py) the
+    # bend modes loop corrections excite have curvature ~1e-3 of the
+    # odometry blocks; damping at 1e-6*diag (~2 per entry) froze them
+    # (measured on the KAIST03 chain: 13.3 m vs 2.8 m residual RMSE).
+    lm_damping: float = 1e-9
     max_keyframes: int = 4096
     max_loops: int = 512
     optimize_every_n_keyframes: int = 2  # solve cadence in sync driver

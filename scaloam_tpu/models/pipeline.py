@@ -241,11 +241,18 @@ class SlamSystem:
         T_loop_inv = np.linalg.inv(np.asarray(T_loop))
 
         # Submap: +-25 keyframes, each at its estimated pose relative to loop.
+        # The query keyframe itself is excluded: in the reference the
+        # temporal gate (NUM_EXCLUDE_RECENT=30 > +-25 window) guarantees
+        # curr is never in the submap; when windows do overlap (short
+        # sessions, between-session queries) aligning the source against
+        # its own possibly-misplaced copy would be self-confirming.
         pieces = []
         for k in range(
             max(0, loop_idx - lcfg.submap_half_keyframes),
             min(n_kf, loop_idx + lcfg.submap_half_keyframes + 1),
         ):
+            if k == curr:
+                continue
             T_k = np.asarray(
                 se3.pose_to_matrix(Pose(jnp.asarray(poses_q[k]), jnp.asarray(poses_t[k])))
             )
@@ -299,9 +306,28 @@ class SlamSystem:
         src_mask = np.zeros(cap, bool)
         src_mask[: len(src)] = True
 
-        # Initial guess: SC yaw about z (the reference uses identity; the
-        # yaw seed widens the convergence basin).
-        init = Pose(
+        # Initial guesses. The reference transforms BOTH clouds by their
+        # current graph estimates and runs ICP from identity
+        # (loopFindNearKeyframesCloud + doICPVirtualRelative, :473-531) —
+        # i.e. its effective init IS the graph-estimated relative pose
+        # C0 = T_loop^-1 T_curr. Seed A reproduces that. Seed B (identity
+        # translation + ScanContext yaw) covers the complementary failure
+        # mode where accumulated drift has corrupted C0's translation but
+        # the scans themselves are from the same spot — the coarse stage
+        # runs from both and the better-fitness result proceeds to the
+        # fine stage (measured on real KAIST03 pairs: the C0 seed extends
+        # acceptance from ~4.5 m to arbitrary graph-estimated offsets).
+        T_curr = np.asarray(
+            se3.pose_to_matrix(
+                Pose(jnp.asarray(poses_q[curr]), jnp.asarray(poses_t[curr]))
+            )
+        )
+        C0 = T_loop_inv @ T_curr
+        init_graph = Pose(
+            se3.mat_to_quat(jnp.asarray(C0[:3, :3], jnp.float32)),
+            jnp.asarray(C0[:3, 3], jnp.float32),
+        )
+        init_yaw = Pose(
             se3.exp_so3(jnp.array([0.0, 0.0, -yaw], jnp.float32)),
             jnp.zeros(3, jnp.float32),
         )
@@ -317,11 +343,22 @@ class SlamSystem:
 
         c_src, c_src_m = _sub(src, lcfg.coarse_source_points)
         c_tgt, c_tgt_m = _sub(submap, lcfg.coarse_target_points)
-        coarse = icp.icp_point2point(
+        coarse_a = icp.icp_point2point(
             jnp.asarray(c_src), jnp.asarray(c_src_m),
             jnp.asarray(c_tgt), jnp.asarray(c_tgt_m),
-            init, max_corr_dist=lcfg.icp_max_corr_dist,
+            init_graph, max_corr_dist=lcfg.icp_max_corr_dist,
             iterations=lcfg.coarse_iterations,
+        )
+        coarse_b = icp.icp_point2point(
+            jnp.asarray(c_src), jnp.asarray(c_src_m),
+            jnp.asarray(c_tgt), jnp.asarray(c_tgt_m),
+            init_yaw, max_corr_dist=lcfg.icp_max_corr_dist,
+            iterations=lcfg.coarse_iterations,
+        )
+        coarse = (
+            coarse_a
+            if float(coarse_a.fitness) <= float(coarse_b.fitness)
+            else coarse_b
         )
         # Stage 2 (fine): grid-accelerated ICP at full submap density.
         res = icp.icp_point2point_grid(

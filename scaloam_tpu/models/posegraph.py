@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 
 from scaloam_tpu.config import PGOConfig
-from scaloam_tpu.ops import se3
+from scaloam_tpu.ops import blocktri, se3
 from scaloam_tpu.types import Pose
 
 
@@ -383,21 +383,45 @@ def _hess_matvec(factors, v: jax.Array, damping_diag: jax.Array) -> jax.Array:
 
 
 def _solve_cg(factors, g, D, free_mask, damping: float, iters: int):
-    """Preconditioned CG for H d = -g on the free nodes."""
+    """CG for H d = -g on the free nodes, preconditioned by the EXACT
+    chain Hessian (block-tridiagonal cyclic reduction, ops/blocktri.py).
+
+    Block-Jacobi preconditioning cannot close loops on long chains: the
+    global bend modes a loop correction excites have preconditioned
+    eigenvalues ~1e-12 against the stiff odometry blocks, beyond f32 CG.
+    With the chain solved exactly, the preconditioned system is identity
+    plus a rank-O(n_loops) correction and CG converges in ~#loops
+    iterations (measured: a 398-node KAIST03 chain with 28 m drift went
+    from 'loops do nothing at 2048 CG iters' to full recovery at 64)."""
     N = g.shape[0]
+    odom, loops, gps = factors
     diag = jnp.diagonal(D, axis1=-2, axis2=-1)  # [N, 6]
     damp = damping * jnp.maximum(diag, 1e-6) + 1e-8
-    eye = jnp.eye(6, dtype=D.dtype)[None]
-    Minv = jnp.linalg.inv(D + damp[:, :, None] * eye + 1e-6 * eye)
 
     fm = free_mask[:, None]
+    eye6 = jnp.eye(6, dtype=D.dtype)
+
+    # Chain system for the preconditioner: all factors' diagonal blocks +
+    # damping, odometry couplings off-diagonal. Frozen/padding nodes
+    # decouple to identity.
+    D_chain = D + damp[:, :, None] * eye6[None] + 1e-6 * eye6[None]
+    D_chain = jnp.where(fm[:, :, None], D_chain, eye6[None])
+    # coupling (k, k+1) from chain factor k: Ji_k^T W_k Jj_k
+    B_chain = jnp.einsum(
+        "fri,fr,frj->fij", odom.Ji, odom.W, odom.Jj,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    pair_free = free_mask & jnp.roll(free_mask, -1)
+    pair_free = pair_free.at[-1].set(False)
+    B_chain = jnp.where(pair_free[:, None, None], B_chain, 0.0)
+    chain = blocktri.factor(D_chain, B_chain)
 
     def mv(v):
         v = jnp.where(fm, v, 0.0)
         return jnp.where(fm, _hess_matvec(factors, v, damp), 0.0)
 
     def precond(v):
-        return jnp.where(fm, jnp.einsum("nij,nj->ni", Minv, v), 0.0)
+        return jnp.where(fm, blocktri.solve(chain, jnp.where(fm, v, 0.0)), 0.0)
 
     b = jnp.where(fm, -g, 0.0)
     x = jnp.zeros_like(b)

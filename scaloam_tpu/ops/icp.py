@@ -33,6 +33,7 @@ from scaloam_tpu.ops import se3, voxel
 from scaloam_tpu.types import Pose
 
 _HI = jax.lax.Precision.HIGHEST
+_TRIM_BIG = 1e30  # host float; keeps trimmed-out rows above any quantile
 
 
 class ICPResult(NamedTuple):
@@ -41,7 +42,7 @@ class ICPResult(NamedTuple):
     converged: jax.Array  # enough correspondences at the end
 
 
-@functools.partial(jax.jit, static_argnames=("iterations",))
+@functools.partial(jax.jit, static_argnames=("iterations", "trim_fraction"))
 def icp_point2point(
     source: jax.Array,  # [S, 3]
     source_mask: jax.Array,
@@ -50,13 +51,24 @@ def icp_point2point(
     init: Pose,
     max_corr_dist: float = 150.0,
     iterations: int = 20,
+    trim_fraction: float = 0.75,
 ) -> ICPResult:
+    """trim_fraction: per iteration, keep only correspondences below that
+    quantile of squared NN distance (trimmed ICP). With the reference's
+    150 m radius every source point matches SOMETHING, and the
+    non-overlapping fringe biases the Kabsch solve badly enough that
+    convergence from multi-meter initial offsets stalls (~0.1 m/iter on
+    real KAIST03 pairs); trimming the worst quartile restores it. Set to
+    1.0 for the reference's untrimmed behavior."""
     max_d2 = max_corr_dist * max_corr_dist
 
     def one_iter(_, pose):
         src_w = se3.apply(pose, source)
         d2, idx = voxel.nn1(src_w, source_mask, target, target_mask)
         ok = source_mask & (d2 < max_d2)
+        if trim_fraction < 1.0:
+            q = jnp.quantile(jnp.where(ok, d2, _TRIM_BIG), trim_fraction)
+            ok = ok & (d2 <= q)
         w = ok.astype(jnp.float32)
         wsum = jnp.maximum(jnp.sum(w), 1.0)
         tgt_pts = target[idx]

@@ -19,7 +19,7 @@ from scaloam_tpu.config import PGOConfig
 from scaloam_tpu.models.posegraph import (
     PoseGraph, _between_batch, _gps_batch, cauchy_weight,
 )
-from scaloam_tpu.ops import se3
+from scaloam_tpu.ops import blocktri, se3
 from scaloam_tpu.parallel.mesh import KF_AXIS
 from scaloam_tpu.types import Pose
 
@@ -123,14 +123,35 @@ def optimize_sharded(graph: PoseGraph, cfg: PGOConfig, mesh, cg_iters: int = 64)
             diag = jnp.diagonal(D, axis1=-2, axis2=-1)
             damp = cfg.lm_damping * jnp.maximum(diag, 1e-6) + 1e-8
             eye = jnp.eye(6, dtype=D.dtype)[None]
-            Minv = jnp.linalg.inv(D + damp[:, :, None] * eye + 1e-6 * eye)
+
+            # Chain preconditioner (see models/posegraph._solve_cg): the
+            # odometry coupling blocks are scattered from this shard's
+            # factor slice and psum'd (each chain factor lives on exactly
+            # one device); the log-depth cyclic-reduction factor/solve then
+            # runs replicated — N*6x6 is tiny next to the factor work.
+            o_fi, _, _, Ji_o, Jj_o, W_o = factors[0]
+            B_loc = jnp.zeros((N, 6, 6)).at[o_fi].add(
+                jnp.einsum(
+                    "fri,fr,frj->fij", Ji_o, W_o, Jj_o,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+            )
+            B_full = jax.lax.psum(B_loc, KF_AXIS)
+            pair_free = free & jnp.roll(free, -1)
+            pair_free = pair_free.at[-1].set(False)
+            B_chain = jnp.where(pair_free[:, None, None], B_full, 0.0)
+            D_chain = D + damp[:, :, None] * eye + 1e-6 * eye
+            D_chain = jnp.where(fm[:, :, None], D_chain, jnp.eye(6)[None])
+            chain = blocktri.factor(D_chain, B_chain)
 
             def mv(v):
                 v = jnp.where(fm, v, 0.0)
                 return jnp.where(fm, matvec(factors, v, damp), 0.0)
 
             def precond(v):
-                return jnp.where(fm, jnp.einsum("nij,nj->ni", Minv, v), 0.0)
+                return jnp.where(
+                    fm, blocktri.solve(chain, jnp.where(fm, v, 0.0)), 0.0
+                )
 
             b = jnp.where(fm, -g, 0.0)
             x = jnp.zeros_like(b)
