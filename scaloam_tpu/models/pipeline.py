@@ -51,6 +51,11 @@ class Keyframe(NamedTuple):
     cloud: np.ndarray  # [P, 3] local frame, 0.4 m downsampled
     time: float
     frame: int = -1  # source scan index (for GT association in evaluation)
+    # Per-point intensity = ring + scan_period*relTime, the reference's
+    # convention (scanRegistration.cpp:252 overwrites reflectance; the
+    # saved Scans/*.pcd and the merged-map coloring carry THIS channel,
+    # makeMergedMap.py:100-132). None on legacy/resume paths without it.
+    intensity: Optional[np.ndarray] = None  # [P] float32
 
 
 def _np_pose(p: Pose) -> Pose:
@@ -183,14 +188,29 @@ class SlamSystem:
         ri = feats.full
         flat_xyz = ri.xyz.reshape(-1, 3)
         flat_mask = ri.mask.reshape(-1)
-        kf_xyz, kf_mask, _ = voxel.voxel_downsample_packed(
+        # intensity = scanID + scanPeriod*relTime (scanRegistration.cpp:252);
+        # rides the voxel filter as a payload column and is voxel-averaged,
+        # matching PCL VoxelGrid's centroid over all fields.
+        n_rings = ri.xyz.shape[0]
+        intens = (
+            jnp.arange(n_rings, dtype=jnp.float32)[:, None]
+            + np.float32(cfg.sensor.scan_period) * ri.rel_time
+        ).reshape(-1, 1)
+        kf_xyz, kf_mask, kf_ext = voxel.voxel_downsample_packed(
             flat_xyz, flat_mask, cfg.pgo.keyframe_voxel_size,
             capacity=cfg.scancontext.max_input_points,
+            extra=intens,
             xy_bits=10, z_bits=9,
         )
-        kf_np = np.asarray(kf_xyz)[np.asarray(kf_mask)]
+        kf_xyz_np, kf_mask_np, kf_ext_np = jax.device_get(
+            (kf_xyz, kf_mask, kf_ext)
+        )
+        kf_np = kf_xyz_np[kf_mask_np]
         self.keyframes.append(
-            Keyframe(cloud=kf_np, time=time, frame=self.frame_idx)
+            Keyframe(
+                cloud=kf_np, time=time, frame=self.frame_idx,
+                intensity=kf_ext_np[kf_mask_np, 0],
+            )
         )
         self.kf_times.append(time)
 
@@ -404,7 +424,12 @@ class SlamSystem:
         n = len(self.keyframes)
         descs = np.asarray(self.sc.db.descriptors)
         for k, kf in enumerate(self.keyframes):
-            w.save_keyframe(k, kf.cloud, descs[k], kf.time)
+            cloud = kf.cloud
+            if kf.intensity is not None and len(kf.intensity) == len(cloud):
+                cloud = np.concatenate(
+                    [cloud, kf.intensity[:, None].astype(np.float32)], axis=1
+                )
+            w.save_keyframe(k, cloud, descs[k], kf.time)
         loop_edges = []
         nl = int(self.graph.n_loops)
         li = np.asarray(self.graph.loop_i)[:nl]
@@ -431,8 +456,12 @@ class SlamSystem:
         poses, times, scan_paths, scd_paths = artifacts.load_session(directory)
         n = min(len(times), len(scan_paths))
         for k in range(n):
-            cloud = pcd_io.read_pcd(scan_paths[k])[:, :3]
-            sys_.keyframes.append(Keyframe(cloud=cloud, time=float(times[k])))
+            raw = pcd_io.read_pcd(scan_paths[k])
+            cloud = raw[:, :3]
+            intens = raw[:, 3] if raw.shape[1] > 3 else None
+            sys_.keyframes.append(
+                Keyframe(cloud=cloud, time=float(times[k]), intensity=intens)
+            )
             sys_.kf_times.append(float(times[k]))
             T = poses[k]
             pose = Pose(

@@ -27,21 +27,46 @@ from jax.sharding import Mesh
 from scaloam_tpu.parallel.mesh import KF_AXIS
 
 
+_initialized = False
+
+
 def initialize(
     coordinator_address: Optional[str] = None,
     num_processes: Optional[int] = None,
     process_id: Optional[int] = None,
 ) -> None:
-    """jax.distributed.initialize passthrough; no-op if already initialized
-    or running single-process."""
-    try:
-        jax.distributed.initialize(
-            coordinator_address=coordinator_address,
-            num_processes=num_processes,
-            process_id=process_id,
+    """jax.distributed.initialize wrapper.
+
+    Explicit no-ops: a second call from this module, or an explicit
+    single-process run (num_processes == 1 with no coordinator). Anything
+    else — an unreachable or typo'd coordinator, inconsistent process ids,
+    a double-init from outside this module — RAISES: silently degrading a
+    requested multi-host run to single-host corrupts the sharded state's
+    world view (every psum/all_gather sees a mesh of the wrong size)."""
+    global _initialized
+    if _initialized:
+        return
+    if num_processes in (None, 1) and coordinator_address is None and (
+        process_id in (None, 0)
+    ):
+        # Explicit single-process (or env-driven auto-detect on a platform
+        # with no cluster env): initialize only if the env declares a
+        # cluster, otherwise stay single-process without touching the
+        # distributed runtime.
+        import os
+
+        cluster_env = any(
+            k in os.environ
+            for k in ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS")
         )
-    except (RuntimeError, ValueError):
-        pass  # already initialized or single-process
+        if not cluster_env:
+            return
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    _initialized = True
 
 
 def global_mesh() -> Mesh:

@@ -62,10 +62,13 @@ class AsyncSlamPipeline:
         while True:
             item = self.scan_q.get(timeout=0.2)
             if item is None:
-                # Exit ONLY on closed-and-drained input: checking a stop
-                # flag against a momentarily-empty queue races with a slow
-                # upstream and shuts the stage down mid-stream.
-                if self.scan_q.closed and len(self.scan_q) == 0:
+                # Exit on closed-and-drained input (checking a stop flag
+                # against a momentarily-empty queue races with a slow
+                # upstream and shuts the stage down mid-stream) — or on
+                # abort(), which deliberately discards in-flight work.
+                if self._stop.is_set() or (
+                    self.scan_q.closed and len(self.scan_q) == 0
+                ):
                     self.feat_q.close()
                     return
                 continue
@@ -78,7 +81,9 @@ class AsyncSlamPipeline:
         while True:
             item = self.feat_q.get(timeout=0.2)
             if item is None:
-                if self.feat_q.closed and len(self.feat_q) == 0:
+                if self._stop.is_set() or (
+                    self.feat_q.closed and len(self.feat_q) == 0
+                ):
                     self.map_q.close()
                     return
                 continue
@@ -94,7 +99,9 @@ class AsyncSlamPipeline:
         while True:
             item = get(timeout=0.2)
             if item is None:
-                if self.map_q.closed and len(self.map_q) == 0:
+                if self._stop.is_set() or (
+                    self.map_q.closed and len(self.map_q) == 0
+                ):
                     self.kf_q.close()
                     return
                 continue
@@ -110,18 +117,38 @@ class AsyncSlamPipeline:
         from scaloam_tpu.models import posegraph as pg
 
         last_opt = time.time()
+        last_lcd = 0.0
+        kf_since_lcd = False
         while True:
             item = self.kf_q.get(timeout=0.2)
             if item is None:
-                if self.kf_q.closed and len(self.kf_q) == 0:
+                if self._stop.is_set() or (
+                    self.kf_q.closed and len(self.kf_q) == 0
+                ):
+                    # Drain: one final loop-detect pass on the last keyframe
+                    # so short offline runs aren't cadence-starved.
+                    if kf_since_lcd and not self._stop.is_set():
+                        with self._lock:
+                            self.sys._detect_and_verify_loop()
                     return
                 continue
             t, mapped_pose, feats = item
             with self._lock:
                 if self.sys._keyframe_gate(mapped_pose):
                     self.sys._add_keyframe(feats, mapped_pose, t)
-                    self.sys._detect_and_verify_loop()
+                    kf_since_lcd = True
+            # Loop detection runs on the LATEST keyframe at
+            # loop_detection_hz, like the reference's process_lcd thread
+            # (src/laserPosegraphOptimization.cpp:732-742): keyframes that
+            # arrive faster than the cadence are not individually queried.
             now = time.time()
+            if kf_since_lcd and (
+                now - last_lcd >= 1.0 / max(self.cfg.runtime.loop_detection_hz, 1e-6)
+            ):
+                with self._lock:
+                    self.sys._detect_and_verify_loop()
+                kf_since_lcd = False
+                last_lcd = now
             if now - last_opt >= 1.0 / max(self.cfg.runtime.pgo_hz, 1e-6):
                 with self._lock:
                     if len(self.sys.keyframes) > 1:
@@ -145,8 +172,19 @@ class AsyncSlamPipeline:
         self.scan_q.put((time_s, points))
 
     def finish(self, timeout: float = 300.0) -> None:
-        self._stop.set()
+        """Graceful shutdown: close the inlet and drain every stage."""
         self.scan_q.close()
+        deadline = time.time() + timeout
+        for th in self._threads:
+            th.join(max(0.1, deadline - time.time()))
+
+    def abort(self, timeout: float = 30.0) -> None:
+        """Hard shutdown: stages exit at the next queue poll, dropping any
+        backlog (the _stop event is the abort signal; finish() drains)."""
+        self._stop.set()
+        for q in (self.scan_q, self.feat_q, self.map_q, self.kf_q):
+            q.close()
+            q.clear()
         deadline = time.time() + timeout
         for th in self._threads:
             th.join(max(0.1, deadline - time.time()))

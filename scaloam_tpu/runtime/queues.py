@@ -66,6 +66,15 @@ class BoundedQueue:
             self._closed = True
             self._cv.notify_all()
 
+    def clear(self) -> int:
+        """Discard the backlog (abort path); returns the count dropped."""
+        with self._cv:
+            n = len(self._dq)
+            self._dq.clear()
+            self.dropped += n
+            self._cv.notify_all()
+            return n
+
     @property
     def closed(self) -> bool:
         with self._cv:

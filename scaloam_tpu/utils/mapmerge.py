@@ -25,22 +25,29 @@ def merge_map(
     voxel_size: Optional[float] = None,
     output_path: Optional[str] = None,
 ) -> np.ndarray:
-    """Returns the merged global cloud [N, 3] (and writes a PCD if asked)."""
+    """Returns the merged global cloud [N, 3] or [N, 4] (xyz + intensity
+    when the saved scans carry it, like the reference's colored merge,
+    makeMergedMap.py:100-132); writes a PCD if asked."""
     poses, _, scan_paths, _ = artifacts.load_session(session_dir)
     pieces = []
     for k in range(0, min(len(poses), len(scan_paths)), node_skip):
-        pts = pcd_io.read_pcd(scan_paths[k])[:, :3]
+        raw = pcd_io.read_pcd(scan_paths[k])
+        pts = raw[:, :3]
         r = np.linalg.norm(pts, axis=-1)
         keep = r >= min_range
         if max_range is not None:
             keep &= r <= max_range
-        pts = pts[keep]
-        T = poses[k]
-        pieces.append(pts @ T[:3, :3].T + T[:3, 3])
-    merged = np.concatenate(pieces, axis=0).astype(np.float32)
+        pts = pts[keep] @ poses[k][:3, :3].T + poses[k][:3, 3]
+        if raw.shape[1] > 3:
+            pts = np.concatenate([pts, raw[keep, 3:4]], axis=1)
+        pieces.append(pts)
+    width = min(p.shape[1] for p in pieces)  # xyz-only if any scan lacks I
+    merged = np.concatenate(
+        [p[:, :width] for p in pieces], axis=0
+    ).astype(np.float32)
 
     if voxel_size is not None:
-        keys = np.floor(merged / voxel_size).astype(np.int64)
+        keys = np.floor(merged[:, :3] / voxel_size).astype(np.int64)
         _, idx = np.unique(keys, axis=0, return_index=True)
         merged = merged[np.sort(idx)]
 

@@ -101,9 +101,14 @@ def test_merge_reference_sample():
     """C12 parity: merge the 21-keyframe KAIST03 sample session."""
     merged = mapmerge.merge_map(SAMPLE, node_skip=5, min_range=2.0)
     assert len(merged) > 10000
+    # the reference scans are PointXYZI; the merge carries the intensity
+    # channel (makeMergedMap.py:100-132 colors by it)
+    assert merged.shape[1] == 4
     # global spread should reflect vehicle motion over 21 keyframes
-    span = merged.max(0) - merged.min(0)
+    span = merged[:, :3].max(0) - merged[:, :3].min(0)
     assert span[:2].max() > 50.0
+    # intensity = ring + 0.1*relTime in the reference's convention
+    assert 0.0 <= merged[:, 3].min() and merged[:, 3].max() < 64.2
 
 
 def test_kitti_bin_reader(tmp_path, rng):

@@ -53,3 +53,13 @@ def test_save_and_resume(tmp_path):
         np.asarray(s1.sc.db.descriptors[0]),
         rtol=6e-3, atol=1e-3,
     )
+    # intensity channel (ring + scan_period*relTime, scanRegistration.cpp:252)
+    # survives keyframe storage, Scans/*.pcd, and resume
+    for s in (s1, s2):
+        kf = s.keyframes[0]
+        assert kf.intensity is not None and len(kf.intensity) == len(kf.cloud)
+        assert kf.intensity.min() >= 0.0
+        assert kf.intensity.max() < cfg.sensor.n_scans + 0.2
+    np.testing.assert_allclose(
+        s2.keyframes[0].intensity, s1.keyframes[0].intensity, atol=1e-5
+    )
