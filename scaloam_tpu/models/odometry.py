@@ -80,7 +80,10 @@ def _sweep_candidates(rel: Pose, feats: ScanFeatures, state: OdometryState,
     # Tile sizes: measured on v5e, the scans are per-iteration-overhead
     # bound — 8192-wide tiles halve nn1, 4096 is the ring-pass sweet spot.
     def sweep(q_cloud, t_cloud, want_same):
-        q = residuals.transform_points(rel, q_cloud.xyz)  # TransformToStart
+        # TransformToStart; with DISTORTION on, de-skew by the per-point
+        # sweep fraction (src/laserOdometry.cpp:111-129).
+        s = q_cloud.rel_time if ocfg.distortion else None
+        q = residuals.transform_points(rel, q_cloud.xyz, s=s)
         iota = jnp.arange(t_cloud.xyz.shape[0], dtype=jnp.float32)
         pl = jnp.concatenate(
             [t_cloud.xyz, t_cloud.ring[:, None], iota[:, None]], axis=1
@@ -117,36 +120,43 @@ def _associate(rel: Pose, feats: ScanFeatures, corner_cand, surf_cand,
     current rel estimate. Returns the fixed correspondence data for the GN
     inner loop (validity gates :299-384, :387-483)."""
     thr = cfg.odometry.distance_sq_threshold
+    dk = cfg.odometry.distortion
 
     sharp = feats.sharp
-    q_pts = residuals.transform_points(rel, sharp.xyz)
+    q_pts = residuals.transform_points(
+        rel, sharp.xyz, s=sharp.rel_time if dk else None
+    )
     dj, a = _pick1(q_pts, corner_cand[0])
     do, b = _pick1(q_pts, corner_cand[1])
     corner_valid = sharp.mask & (dj < thr) & (do < thr)
-    corner_data = (sharp.xyz, a, b, corner_valid)
+    corner_data = (sharp.xyz, a, b, corner_valid, sharp.rel_time)
 
     flat = feats.flat
-    qs_pts = residuals.transform_points(rel, flat.xyz)
+    qs_pts = residuals.transform_points(
+        rel, flat.xyz, s=flat.rel_time if dk else None
+    )
     sdj, j = _pick1(qs_pts, surf_cand[0])
     ds, l = _pick1(qs_pts, surf_cand[1])
     do2, m = _pick1(qs_pts, surf_cand[2])
     surf_valid = flat.mask & (sdj < thr) & (ds < thr) & (do2 < thr)
-    surf_data = (flat.xyz, j, l, m, surf_valid)
+    surf_data = (flat.xyz, j, l, m, surf_valid, flat.rel_time)
     return corner_data, surf_data
 
 
 def _solve(rel: Pose, corner_data, surf_data, cfg: SlamConfig) -> Pose:
     # SoA ([3, n]) factor data: transposed once, reused by all GN iterations
     # (lane-efficient — see residuals.py FactorSetT).
-    p_c, a, b, v_c = corner_data
-    p_s, j, l, m, v_s = surf_data
+    p_c, a, b, v_c, s_c = corner_data
+    p_s, j, l, m, v_s, s_s = surf_data
     pcT, aT, bT = p_c.T, a.T, b.T
     psT, jT, lT, mT = p_s.T, j.T, l.T, m.T
+    if not cfg.odometry.distortion:
+        s_c = s_s = None  # s=1 fast path (shared-R one-matmul factors)
 
     def build(pose):
         return [
-            residuals.edge_factors_T(pose, pcT, aT, bT, v_c),
-            residuals.plane3_factors_T(pose, psT, jT, lT, mT, v_s),
+            residuals.edge_factors_T(pose, pcT, aT, bT, v_c, s=s_c),
+            residuals.plane3_factors_T(pose, psT, jT, lT, mT, v_s, s=s_s),
         ]
 
     return gn.gauss_newton(
@@ -169,8 +179,8 @@ def odometry_step(
                 rel, feats, corner_cand, surf_cand, cfg
             )
             rel = _solve(rel, corner_data, surf_data, cfg)
-            n_c = jnp.sum(corner_data[-1].astype(jnp.int32))
-            n_s = jnp.sum(surf_data[-1].astype(jnp.int32))
+            n_c = jnp.sum(corner_data[3].astype(jnp.int32))  # corner_valid
+            n_s = jnp.sum(surf_data[4].astype(jnp.int32))  # surf_valid
         return rel, n_c, n_s
 
     def skip_branch(rel):
@@ -181,9 +191,24 @@ def odometry_step(
     )
 
     world = se3.compose(state.world, rel)  # :504-505
+
+    # With DISTORTION on, the republished "last" clouds are de-skewed to the
+    # END of the sweep (TransformToEnd, src/laserOdometry.cpp:131-146,
+    # 554-568) so the next frame matches against a motion-consistent target.
+    less_sharp, less_flat = feats.less_sharp, feats.less_flat
+    if cfg.odometry.distortion:
+        inv = se3.inverse(rel)
+
+        def to_end(fc):
+            p_start = residuals.transform_points(rel, fc.xyz, s=fc.rel_time)
+            return fc._replace(xyz=se3.apply(inv, p_start))
+
+        less_sharp = to_end(less_sharp)
+        less_flat = to_end(less_flat)
+
     new_state = OdometryState(
-        last_corner=feats.less_sharp,
-        last_surf=feats.less_flat,
+        last_corner=less_sharp,
+        last_surf=less_flat,
         rel=rel,
         world=world,
         initialized=jnp.array(True),

@@ -59,7 +59,10 @@ class Keyframe(NamedTuple):
 
 
 def _np_pose(p: Pose) -> Pose:
-    return Pose(np.asarray(p.quat), np.asarray(p.trans))
+    # one batched D2H for both leaves (separate np.asarray calls are two
+    # ~23 ms RTTs each on the tunneled TPU; this runs once per frame)
+    q, t = jax.device_get((p.quat, p.trans))
+    return Pose(np.asarray(q), np.asarray(t))
 
 
 def _np_quat_conj(q):
@@ -75,6 +78,47 @@ def _np_quat_mul(a, b):
         aw * by - ax * bz + ay * bw + az * bx,
         aw * bz + ax * by - ay * bx + az * bw,
     ])
+
+
+def _np_quat_to_mat(q):
+    """[4] wxyz -> [3, 3] rotation, pure numpy (host-side per-keyframe math
+    must not dispatch device ops — each eager op is an RPC on a tunneled
+    TPU; see _keyframe_gate)."""
+    w, x, y, z = q
+    return np.array([
+        [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+        [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+        [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+    ])
+
+
+def _np_pose_matrix(q, t):
+    T = np.eye(4)
+    T[:3, :3] = _np_quat_to_mat(np.asarray(q, np.float64))
+    T[:3, 3] = np.asarray(t, np.float64)
+    return T
+
+
+def _np_mat_to_quat(R):
+    """[3, 3] -> [4] wxyz (Shepperd: pick the largest pivot for stability)."""
+    m00, m01, m02 = R[0]
+    m10, m11, m12 = R[1]
+    m20, m21, m22 = R[2]
+    tr = m00 + m11 + m22
+    if tr > 0:
+        s = np.sqrt(tr + 1.0) * 2
+        q = [0.25 * s, (m21 - m12) / s, (m02 - m20) / s, (m10 - m01) / s]
+    elif m00 >= m11 and m00 >= m22:
+        s = np.sqrt(1.0 + m00 - m11 - m22) * 2
+        q = [(m21 - m12) / s, 0.25 * s, (m01 + m10) / s, (m02 + m20) / s]
+    elif m11 >= m22:
+        s = np.sqrt(1.0 + m11 - m00 - m22) * 2
+        q = [(m02 - m20) / s, (m01 + m10) / s, 0.25 * s, (m12 + m21) / s]
+    else:
+        s = np.sqrt(1.0 + m22 - m00 - m11) * 2
+        q = [(m10 - m01) / s, (m02 + m20) / s, (m12 + m21) / s, 0.25 * s]
+    q = np.asarray(q)
+    return q / np.linalg.norm(q)
 
 
 def _np_quat_to_rpy(q):
@@ -130,8 +174,13 @@ class SlamSystem:
 
         run_mapping = self.frame_idx % cfg.odometry.skip_frame == 0
         if run_mapping:
+            # Mapping consumes odometry's REPUBLISHED clouds (the post-step
+            # last_corner/last_surf — de-skewed to sweep end when DISTORTION
+            # is on, src/laserOdometry.cpp:554-591); identical to
+            # feats.less_* when distortion is off.
             self.m_state, m_out = mapping_mod.mapping_step(
-                self.m_state, o_out.world, feats.less_sharp, feats.less_flat, cfg
+                self.m_state, o_out.world,
+                self.o_state.last_corner, self.o_state.last_surf, cfg
             )
             mapped_pose = m_out.pose
         else:
@@ -251,14 +300,14 @@ class SlamSystem:
         frame (see ops/icp.py docstring for the frame-convention fix).
         The ScanContext yaw seeds the initial rotation."""
         lcfg = self.cfg.loop
-        poses_q = np.asarray(self.graph.poses.quat)
-        poses_t = np.asarray(self.graph.poses.trans)
+        # one batched D2H for both pose tables (each np.asarray is an RTT)
+        poses_q, poses_t = jax.device_get(
+            (self.graph.poses.quat, self.graph.poses.trans)
+        )
         n_kf = len(self.keyframes)
 
-        T_loop = se3.pose_to_matrix(
-            Pose(jnp.asarray(poses_q[loop_idx]), jnp.asarray(poses_t[loop_idx]))
-        )
-        T_loop_inv = np.linalg.inv(np.asarray(T_loop))
+        T_loop = _np_pose_matrix(poses_q[loop_idx], poses_t[loop_idx])
+        T_loop_inv = np.linalg.inv(T_loop)
 
         # Submap: +-25 keyframes, each at its estimated pose relative to loop.
         # The query keyframe itself is excluded: in the reference the
@@ -273,10 +322,7 @@ class SlamSystem:
         ):
             if k == curr:
                 continue
-            T_k = np.asarray(
-                se3.pose_to_matrix(Pose(jnp.asarray(poses_q[k]), jnp.asarray(poses_t[k])))
-            )
-            rel = T_loop_inv @ T_k
+            rel = T_loop_inv @ _np_pose_matrix(poses_q[k], poses_t[k])
             cloud = self.keyframes[k].cloud
             pieces.append(cloud @ rel[:3, :3].T + rel[:3, 3])
         submap = np.concatenate(pieces, axis=0).astype(np.float32)
@@ -337,19 +383,17 @@ class SlamSystem:
         # runs from both and the better-fitness result proceeds to the
         # fine stage (measured on real KAIST03 pairs: the C0 seed extends
         # acceptance from ~4.5 m to arbitrary graph-estimated offsets).
-        T_curr = np.asarray(
-            se3.pose_to_matrix(
-                Pose(jnp.asarray(poses_q[curr]), jnp.asarray(poses_t[curr]))
-            )
-        )
+        T_curr = _np_pose_matrix(poses_q[curr], poses_t[curr])
         C0 = T_loop_inv @ T_curr
         init_graph = Pose(
-            se3.mat_to_quat(jnp.asarray(C0[:3, :3], jnp.float32)),
-            jnp.asarray(C0[:3, 3], jnp.float32),
+            np.asarray(_np_mat_to_quat(C0[:3, :3]), np.float32),
+            np.asarray(C0[:3, 3], np.float32),
         )
         init_yaw = Pose(
-            se3.exp_so3(jnp.array([0.0, 0.0, -yaw], jnp.float32)),
-            jnp.zeros(3, jnp.float32),
+            np.array(
+                [np.cos(-yaw / 2), 0.0, 0.0, np.sin(-yaw / 2)], np.float32
+            ),
+            np.zeros(3, np.float32),
         )
         # Stage 1 (coarse, wide basin): brute-force ICP on subsampled clouds.
         def _sub(a, cap_):

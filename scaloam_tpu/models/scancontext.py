@@ -85,6 +85,19 @@ def make_and_append(
     return append_descriptor(db, sc), sc
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def detect_latest(db: SCDatabase, cfg: ScanContextConfig):
+    """detectLoopClosureID on the most recent descriptor. The query slice
+    happens inside the jit (dynamic index on count-1) so the host wrapper
+    dispatches ONE executable and fetches all three results in ONE
+    device_get — on the tunneled TPU each separate fetch is a ~23 ms RTT."""
+    query = db.descriptors[db.count - 1]
+    return sc_ops.detect_loop(
+        query, sc_ops.ring_key(query), db.descriptors, db.ring_keys,
+        db.count, cfg, exclude_recent=True,
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "exclude_recent"))
 def detect(
     db: SCDatabase,
@@ -133,8 +146,7 @@ class SCManager:
         n = self._n  # host-tracked; int(db.count) would cost a D2H RTT
         if n < self.cfg.num_exclude_recent + 1:
             return -1, 0.0, float("inf")
-        query = self.db.descriptors[n - 1]
-        idx, yaw, dist = detect(self.db, query, self.cfg)
+        idx, yaw, dist = jax.device_get(detect_latest(self.db, self.cfg))
         return int(idx), float(yaw), float(dist)
 
     def detect_between_session(self, query_sc) -> Tuple[int, float, float]:

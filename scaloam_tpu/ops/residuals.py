@@ -22,7 +22,7 @@ With the reference's DISTORTION=0 the slerp factor s == 1
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -142,25 +142,57 @@ def _cross_rows(a: jax.Array, b: jax.Array) -> jax.Array:
     )
 
 
-def edge_factors_T(
-    pose: Pose, pT: jax.Array, aT: jax.Array, bT: jax.Array, valid: jax.Array
-) -> FactorSetT:
-    """SoA LidarEdgeFactor: r = (p'-a) x (p'-b) / |a-b| (3-dim)."""
-    R = se3.quat_to_mat(pose.quat)
-    w = jnp.matmul(R, pT, precision=jax.lax.Precision.HIGHEST)  # R p
-    pw = w + pose.trans[:, None]
-    d = aT - bT
-    dn = jnp.maximum(jnp.sqrt(jnp.sum(d * d, axis=0)), _EPS)[None, :]
-    r = _cross_rows(pw - aT, pw - bT) / dn
-    # J_theta columns: col_k = R[:,k] x w ; then dr_dpw col = (col_k x d)/dn.
-    J_rot = [
-        _cross_rows(_cross_rows(jnp.broadcast_to(R[:, k : k + 1], w.shape), w), d) / dn
+def _slerp_cols(pose: Pose, pT: jax.Array, s: jax.Array):
+    """Per-point slerp-s pose pieces for the de-skew factors
+    (LidarEdgeFactor/LidarPlaneFactor with s != 1, src/lidarFactor.hpp:26-34):
+    returns (q_s [n,4], w [3,n] = R_s p, R_cols 3x[3,n] = columns of R_s).
+
+    The per-point rotation breaks the shared-R one-matmul trick of the s=1
+    path, so the s path is opt-in (cfg.odometry.distortion, default off like
+    the reference's DISTORTION)."""
+    n = pT.shape[1]
+    ident = jnp.broadcast_to(jnp.array([1.0, 0, 0, 0], pose.quat.dtype), (n, 4))
+    q_s = se3.quat_slerp(ident, jnp.broadcast_to(pose.quat, (n, 4)), s[:, None])
+    w = se3.quat_rotate(q_s, pT.T).T
+    eye = jnp.eye(3, dtype=pT.dtype)
+    R_cols = [
+        se3.quat_rotate(q_s, jnp.broadcast_to(eye[k], (n, 3))).T
         for k in range(3)
     ]
-    # dr_dpw = -[d]x/dn applied to identity columns: (e_k x d)/dn.
+    return q_s, w, R_cols
+
+
+def edge_factors_T(
+    pose: Pose, pT: jax.Array, aT: jax.Array, bT: jax.Array, valid: jax.Array,
+    s: Optional[jax.Array] = None,
+) -> FactorSetT:
+    """SoA LidarEdgeFactor: r = (p'-a) x (p'-b) / |a-b| (3-dim).
+
+    With s (de-skew fractions in [0,1], DISTORTION on): p' = R_s p + s t
+    where R_s = slerp(I, q, s), and the Jacobian uses the first-order
+    identity slerp(I, q exp(delta), s) ~= R_s exp(s delta) — exact at q = I
+    and O(|log q| |delta|) otherwise (|log q| ~ 1e-2 rad scan-to-scan, so
+    the GN fixed-point shift is negligible; the reference differentiates
+    the slerp exactly via ceres Jets, src/lidarFactor.hpp:26-55)."""
+    d = aT - bT
+    dn = jnp.maximum(jnp.sqrt(jnp.sum(d * d, axis=0)), _EPS)[None, :]
     e = jnp.eye(3, dtype=pT.dtype)
+    if s is None:
+        R = se3.quat_to_mat(pose.quat)
+        w = jnp.matmul(R, pT, precision=jax.lax.Precision.HIGHEST)  # R p
+        pw = w + pose.trans[:, None]
+        R_cols = [jnp.broadcast_to(R[:, k : k + 1], w.shape) for k in range(3)]
+        sc = 1.0
+    else:
+        _, w, R_cols = _slerp_cols(pose, pT, s)
+        pw = w + s[None, :] * pose.trans[:, None]
+        sc = s[None, :]
+    r = _cross_rows(pw - aT, pw - bT) / dn
+    # J_theta columns: col_k = R_s[:,k] x w ; then dr_dpw col = (col_k x d)/dn.
+    J_rot = [sc * _cross_rows(_cross_rows(R_cols[k], w), d) / dn for k in range(3)]
+    # dr_dpw = -[d]x/dn applied to identity columns: (e_k x d)/dn.
     J_t = [
-        _cross_rows(jnp.broadcast_to(e[:, k : k + 1], d.shape), d) / dn
+        sc * _cross_rows(jnp.broadcast_to(e[:, k : k + 1], d.shape), d) / dn
         for k in range(3)
     ]
     J = jnp.stack(J_rot + J_t, axis=1)  # [3, 6, n]
@@ -169,12 +201,13 @@ def edge_factors_T(
 
 def plane3_factors_T(
     pose: Pose, pT: jax.Array, jT: jax.Array, lT: jax.Array, mT: jax.Array,
-    valid: jax.Array,
+    valid: jax.Array, s: Optional[jax.Array] = None,
 ) -> FactorSetT:
-    """SoA LidarPlaneFactor: r = (p' - j) . normalize((j-l)x(j-m))."""
+    """SoA LidarPlaneFactor: r = (p' - j) . normalize((j-l)x(j-m)).
+    s: optional de-skew fractions (see edge_factors_T)."""
     nrm = _cross_rows(jT - lT, jT - mT)
     nrm = nrm / jnp.maximum(jnp.sqrt(jnp.sum(nrm * nrm, axis=0)), _EPS)[None, :]
-    return _plane_T(pose, pT, nrm, -jnp.sum(jT * nrm, axis=0), valid)
+    return _plane_T(pose, pT, nrm, -jnp.sum(jT * nrm, axis=0), valid, s=s)
 
 
 def plane_norm_factors_T(
@@ -185,13 +218,22 @@ def plane_norm_factors_T(
     return _plane_T(pose, pT, unit_normT, neg_oa_dot, valid)
 
 
-def _plane_T(pose, pT, nT, neg_d, valid) -> FactorSetT:
-    R = se3.quat_to_mat(pose.quat)
-    pw = jnp.matmul(R, pT, precision=jax.lax.Precision.HIGHEST) + pose.trans[:, None]
+def _plane_T(pose, pT, nT, neg_d, valid, s=None) -> FactorSetT:
+    if s is None:
+        R = se3.quat_to_mat(pose.quat)
+        pw = jnp.matmul(R, pT, precision=jax.lax.Precision.HIGHEST) + pose.trans[:, None]
+        u = jnp.matmul(R.T, nT, precision=jax.lax.Precision.HIGHEST)  # R^T n
+        sc = 1.0
+        J_n = nT
+    else:
+        q_s, w, _ = _slerp_cols(pose, pT, s)
+        pw = w + s[None, :] * pose.trans[:, None]
+        u = se3.quat_rotate(se3.quat_conj(q_s), nT.T).T  # R_s^T n per point
+        sc = s[None, :]
+        J_n = s[None, :] * nT
     r = (jnp.sum(nT * pw, axis=0) + neg_d)[None, :]
-    u = jnp.matmul(R.T, nT, precision=jax.lax.Precision.HIGHEST)  # R^T n
-    J_rot = _cross_rows(pT, u)  # (p x R^T n)^T
-    J = jnp.concatenate([J_rot, nT], axis=0)[None, :, :]  # [1, 6, n]
+    J_rot = sc * _cross_rows(pT, u)  # s (p x R_s^T n)^T
+    J = jnp.concatenate([J_rot, J_n], axis=0)[None, :, :]  # [1, 6, n]
     return FactorSetT(r=r, J=J, valid=valid)
 
 

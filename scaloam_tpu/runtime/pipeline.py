@@ -92,7 +92,13 @@ class AsyncSlamPipeline:
                 self.sys.o_state, feats, self.cfg
             )
             self.odom_results.append((t, np.asarray(o_out.world.trans)))
-            self.map_q.put((t, o_out.world, feats))
+            # Republished clouds for mapping: the post-step last_* (de-skewed
+            # to sweep end under DISTORTION; == feats.less_* otherwise).
+            # Captured here, not in the mapping worker — o_state advances.
+            self.map_q.put((
+                t, o_out.world, feats,
+                self.sys.o_state.last_corner, self.sys.o_state.last_surf,
+            ))
 
     def _mapping_worker(self):
         get = self.map_q.get_latest if self.drop_backlog else self.map_q.get
@@ -105,10 +111,9 @@ class AsyncSlamPipeline:
                     self.kf_q.close()
                     return
                 continue
-            t, odom_pose, feats = item
+            t, odom_pose, feats, reg_corner, reg_surf = item
             self.sys.m_state, m_out = mapping_mod.mapping_step(
-                self.sys.m_state, odom_pose, feats.less_sharp,
-                feats.less_flat, self.cfg,
+                self.sys.m_state, odom_pose, reg_corner, reg_surf, self.cfg,
             )
             self.mapped_results.append((t, np.asarray(m_out.pose.trans)))
             self.kf_q.put((t, m_out.pose, feats))

@@ -82,23 +82,45 @@ def simulate_scan(
     noise: float = 0.01,
     seed: int = 0,
     lidar_type: str = "HDL64",
+    sweep_dpos: np.ndarray = None,
+    sweep_dyaw: float = 0.0,
 ) -> np.ndarray:
     """One revolution; returns [M, 3] float32 points in sensor frame,
-    azimuth-major stream order, misses dropped."""
+    azimuth-major stream order, misses dropped.
+
+    sweep_dpos/sweep_dyaw: motion of the sensor OVER the revolution. Each
+    azimuth column fires from the interpolated pose at its sweep fraction
+    s, but the returned coordinates are the driver's naive `range x
+    encoder-direction` reconstruction — i.e. genuinely SKEWED scans, the
+    distortion the reference's DISTORTION/TransformToStart path de-skews
+    (src/laserOdometry.cpp:84-129). Defaults produce unskewed scans."""
     rng = np.random.default_rng(seed)
     elev = np.deg2rad(_elevation_ladder(n_scans, lidar_type))
     azim = np.linspace(-np.pi + 1e-3, np.pi - 1e-3, n_azimuth, endpoint=False)
     # stream order: azimuth outer, ring inner
     a = np.repeat(azim, n_scans)
     e = np.tile(elev, n_azimuth)
+    # sweep fraction per stream element (matches the relTime the azimuth
+    # unwrap of scanRegistration recovers)
+    s = np.repeat(np.arange(n_azimuth) / n_azimuth, n_scans)
     # direction chosen so ori = -atan2(y, x) == a (monotone over the stream)
     d_sensor = np.stack(
         [np.cos(e) * np.cos(a), -np.cos(e) * np.sin(a), np.sin(e)], axis=1
     )
-    cy, sy = np.cos(sensor_yaw), np.sin(sensor_yaw)
-    R = np.array([[cy, -sy, 0.0], [sy, cy, 0.0], [0.0, 0.0, 1.0]])
-    d_world = d_sensor @ R.T
+    yaw_i = sensor_yaw + s * sweep_dyaw
+    cy, sy = np.cos(yaw_i), np.sin(yaw_i)
+    # per-point world direction: R(yaw_i) @ d_sensor
+    d_world = np.stack(
+        [
+            cy * d_sensor[:, 0] - sy * d_sensor[:, 1],
+            sy * d_sensor[:, 0] + cy * d_sensor[:, 1],
+            d_sensor[:, 2],
+        ],
+        axis=1,
+    )
     o = np.broadcast_to(sensor_pos, d_world.shape).astype(np.float64)
+    if sweep_dpos is not None:
+        o = o + s[:, None] * np.asarray(sweep_dpos, np.float64)
 
     t_box = _ray_box(o, d_world, world.boxes)
     with np.errstate(divide="ignore", invalid="ignore"):
@@ -124,22 +146,39 @@ def simulate_trajectory(
     closed_loop: bool = True,
     seed: int = 0,
     lidar_type: str = "HDL64",
+    skew: bool = False,
+    accel: float = 0.0,
 ) -> Tuple[list, np.ndarray]:
     """Drive a circle through the world (closes a loop if n_frames covers it).
 
     Returns (scans, gt_poses[N,4,4]) with scans in each sensor frame and
-    ground-truth sensor-to-world transforms."""
+    ground-truth sensor-to-world transforms (at each scan's START when
+    skew=True — the frame TransformToStart de-skews into).
+
+    accel: per-frame speed increase (m/frame^2). With skew=True a nonzero
+    accel makes consecutive sweeps skew DIFFERENTLY — the regime where the
+    reference's DISTORTION path matters (constant-velocity skew cancels in
+    scan-to-scan matching)."""
+
+    def pose_at(i):
+        theta = (speed * i + 0.5 * accel * i * i) / radius
+        return (
+            np.array([radius * np.sin(theta), radius * (1 - np.cos(theta)), 1.8]),
+            theta,
+        )
+
     scans, poses = [], []
     for i in range(n_frames):
-        theta = speed * i / radius
-        pos = np.array(
-            [radius * np.sin(theta), radius * (1 - np.cos(theta)), 1.8]
-        )
-        yaw = theta
+        pos, yaw = pose_at(i)
+        dpos, dyaw = None, 0.0
+        if skew:
+            pos2, yaw2 = pose_at(i + 1)
+            dpos, dyaw = pos2 - pos, yaw2 - yaw
         scans.append(
             simulate_scan(
                 world, pos, yaw, n_scans=n_scans, n_azimuth=n_azimuth,
                 seed=seed + i, lidar_type=lidar_type,
+                sweep_dpos=dpos, sweep_dyaw=dyaw,
             )
         )
         cy, sy = np.cos(yaw), np.sin(yaw)

@@ -2,9 +2,14 @@
 odometry -> mapping -> keyframes/SC/ICP/PGO) fed with pre-generated
 HDL-64-density scans as fast as it will take them. Reports end-to-end
 scans/s including the backend — the production real-time number (bench.py
-is the front-end kernel number).
+is the front-end kernel number) — plus per-keyframe backend latency and
+loop-closure activity (VERDICT r1 item 3).
+
+The course is a closing circle (like run.py --synthetic) so ScanContext
+retrieval, ICP verification and PGO genuinely fire during the timed window.
 """
 
+import json
 import os
 import sys
 import time
@@ -19,27 +24,38 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from scaloam_tpu import config
+from scaloam_tpu.models.pipeline import SlamSystem
 from scaloam_tpu.runtime.pipeline import AsyncSlamPipeline
 from scaloam_tpu.utils import synthetic
 
 
-def main():
-    cfg = config.kitti_hdl64()
-    n_frames = 80
-    world = synthetic.make_world(seed=3, n_boxes=60, extent=70.0)
+def make_course(n_frames=160, radius=22.0):
+    # 2*pi*22 ~ 138 frames closes the circle at 1 m/frame: loops fire in
+    # the last ~20 frames.
+    world = synthetic.make_world(seed=0, n_boxes=60, extent=70.0)
     scans, _ = synthetic.simulate_trajectory(
-        world, n_frames=n_frames, speed=1.2, radius=40.0,
+        world, n_frames=n_frames, speed=1.0, radius=radius,
         n_scans=64, n_azimuth=2048, seed=7,
     )
+    return scans
 
-    # Warm compile caches with a tiny run first (compiles must not ride the
-    # timed window).
-    warm = AsyncSlamPipeline(cfg)
-    warm.start()
-    for f in range(3):
-        warm.feed(0.1 * f, scans[f])
-    warm.finish()
 
+def main():
+    cfg = config.kitti_hdl64()
+    n_frames = 160
+    scans = make_course(n_frames=n_frames)
+
+    # Warm every executable (compiles must not ride the timed window):
+    # run the full course once through the synchronous system.
+    t0 = time.time()
+    warm = SlamSystem(cfg)
+    for i, pts in enumerate(scans):
+        warm.process_scan(pts, time=0.1 * i)
+    warm_s = time.time() - t0
+    print(f"warmup+compile pass: {warm_s:.1f}s, "
+          f"keyframes={len(warm.keyframes)} loops={len(warm.loops_found)}")
+
+    # --- async end-to-end number ------------------------------------------
     pipe = AsyncSlamPipeline(cfg)
     pipe.start()
     t0 = time.time()
@@ -48,12 +64,81 @@ def main():
     pipe.finish()
     dt = time.time() - t0
     n_done = len(pipe.mapped_results)
+    e2e = n_frames / dt
     print(
         f"system: {n_frames} scans fed, {n_done} mapped, "
         f"{pipe.dropped_frames} dropped, {dt:.2f}s "
-        f"({n_frames / dt:.1f} scans/s end-to-end)"
+        f"({e2e:.1f} scans/s end-to-end), "
+        f"keyframes={len(pipe.sys.keyframes)} loops={len(pipe.sys.loops_found)}"
     )
-    print(f"keyframes: {len(pipe.sys.keyframes)}")
+
+    # --- per-keyframe backend attribution (synchronous, timed blocks) -----
+    sys_ = SlamSystem(cfg)
+    add_ms, lcd_ms, icp_ms, opt_ms = [], [], [], []
+    from scaloam_tpu.models import posegraph as pg
+
+    for i, pts in enumerate(scans):
+        scan_np = pts
+        # front-end via process_scan internals, backend timed piecewise
+        from scaloam_tpu.models import mapping as mapping_mod
+        from scaloam_tpu.models import odometry as odometry_mod
+        from scaloam_tpu.ops import features as feat_ops, se3
+        from scaloam_tpu.types import LidarScan
+
+        scan = LidarScan.from_numpy(scan_np, cfg.sensor.max_points)
+        feats = feat_ops.extract_features(scan, cfg)
+        sys_.o_state, o_out = odometry_mod.odometry_step(sys_.o_state, feats, cfg)
+        sys_.m_state, m_out = mapping_mod.mapping_step(
+            sys_.m_state, o_out.world,
+            sys_.o_state.last_corner, sys_.o_state.last_surf, cfg,
+        )
+        mapped_pose = m_out.pose
+        if sys_._keyframe_gate(mapped_pose):  # includes the per-frame D2H
+            t0 = time.time()
+            sys_._add_keyframe(feats, mapped_pose, 0.1 * i)
+            add_ms.append(1e3 * (time.time() - t0))
+            t0 = time.time()
+            idx, yaw, dist = sys_.sc.detect_loop_closure_id()
+            lcd_ms.append(1e3 * (time.time() - t0))
+            if idx >= 0:
+                t0 = time.time()
+                z = sys_._icp_verify(len(sys_.keyframes) - 1, idx, yaw)
+                icp_ms.append(1e3 * (time.time() - t0))
+                if z is not None:
+                    sys_.graph = pg.ensure_loop_slot(
+                        sys_.graph, len(sys_.loops_found))
+                    sys_.graph = pg.add_loop(
+                        sys_.graph, np.int32(len(sys_.keyframes) - 1),
+                        np.int32(idx), z)
+                    sys_.loops_found.append((len(sys_.keyframes) - 1, idx))
+            if (len(sys_.keyframes) % cfg.pgo.optimize_every_n_keyframes) == 0:
+                t0 = time.time()
+                sys_.graph = pg.optimize(sys_.graph, cfg.pgo)
+                jax.block_until_ready(sys_.graph.poses.trans)
+                opt_ms.append(1e3 * (time.time() - t0))
+        sys_.frame_idx += 1
+
+    def stat(x):
+        return (
+            {"mean": round(float(np.mean(x)), 1),
+             "p50": round(float(np.median(x)), 1),
+             "max": round(float(np.max(x)), 1), "n": len(x)}
+            if x else {"n": 0}
+        )
+
+    summary = {
+        "end_to_end_scans_per_sec": round(e2e, 1),
+        "frames": n_frames,
+        "keyframes": len(sys_.keyframes),
+        "loops_accepted": len(sys_.loops_found),
+        "backend_ms_per_keyframe": {
+            "add_keyframe": stat(add_ms),
+            "sc_detect": stat(lcd_ms),
+            "icp_verify": stat(icp_ms),
+            "pgo_optimize": stat(opt_ms),
+        },
+    }
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":
