@@ -24,6 +24,7 @@ Stage wiring (reference):
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import List, NamedTuple, Optional
 
 import jax
@@ -47,15 +48,49 @@ class FrameResult(NamedTuple):
     loop_found: Optional[tuple]  # (curr_kf, loop_kf) if a loop was added
 
 
-class Keyframe(NamedTuple):
-    cloud: np.ndarray  # [P, 3] local frame, 0.4 m downsampled
-    time: float
-    frame: int = -1  # source scan index (for GT association in evaluation)
-    # Per-point intensity = ring + scan_period*relTime, the reference's
-    # convention (scanRegistration.cpp:252 overwrites reflectance; the
-    # saved Scans/*.pcd and the merged-map coloring carry THIS channel,
-    # makeMergedMap.py:100-132). None on legacy/resume paths without it.
-    intensity: Optional[np.ndarray] = None  # [P] float32
+class Keyframe:
+    """Keyframe cloud ([P, 3] local frame, 0.4 m downsampled) with LAZY
+    host materialization.
+
+    Constructed either from host numpy (resume/tests: cloud=/intensity=)
+    or from padded device arrays (dev=(xyz, mask, ext) with the async D2H
+    copy already started) — the backend's keyframe path then never blocks
+    on the ~23 ms tunnel fetch; the numpy view materializes on first
+    .cloud/.intensity access (ICP verify at loop time, artifact writing).
+
+    intensity is ring + scan_period*relTime, the reference's convention
+    (scanRegistration.cpp:252 overwrites reflectance; the saved
+    Scans/*.pcd and the merged-map coloring carry THIS channel,
+    makeMergedMap.py:100-132). None on legacy paths without it."""
+
+    __slots__ = ("time", "frame", "_cloud", "_intensity", "_dev")
+
+    def __init__(self, cloud=None, time=0.0, frame=-1, intensity=None,
+                 dev=None):
+        self.time = time
+        self.frame = frame
+        self._cloud = cloud
+        self._intensity = intensity
+        self._dev = dev  # (xyz [C, 3], mask [C], ext [C, 1]) device arrays
+
+    def _materialize(self):
+        xyz, mask, ext = jax.device_get(self._dev)
+        m = np.asarray(mask)
+        self._cloud = np.asarray(xyz)[m]
+        self._intensity = np.asarray(ext)[m, 0]
+        self._dev = None
+
+    @property
+    def cloud(self) -> np.ndarray:
+        if self._dev is not None:
+            self._materialize()
+        return self._cloud
+
+    @property
+    def intensity(self) -> Optional[np.ndarray]:
+        if self._dev is not None:
+            self._materialize()
+        return self._intensity
 
 
 def _np_pose(p: Pose) -> Pose:
@@ -127,6 +162,26 @@ def _np_quat_to_rpy(q):
     pitch = np.arcsin(np.clip(2 * (w * y - z * x), -1.0, 1.0))
     yaw = np.arctan2(2 * (w * z + x * y), 1 - 2 * (y * y + z * z))
     return roll, pitch, yaw
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _prepare_keyframe(ri_xyz, ri_mask, ri_rel_time, cfg: SlamConfig):
+    """Device-side keyframe prep as ONE executable: full-res local cloud,
+    0.4 m voxel filter (:629-631) with the intensity channel
+    (scanID + scanPeriod*relTime, scanRegistration.cpp:252) riding the
+    filter as a voxel-averaged payload column (PCL VoxelGrid centroids
+    average all fields)."""
+    n_rings = ri_xyz.shape[0]
+    intens = (
+        jnp.arange(n_rings, dtype=jnp.float32)[:, None]
+        + np.float32(cfg.sensor.scan_period) * ri_rel_time
+    ).reshape(-1, 1)
+    return voxel.voxel_downsample_packed(
+        ri_xyz.reshape(-1, 3), ri_mask.reshape(-1),
+        cfg.pgo.keyframe_voxel_size,
+        capacity=cfg.scancontext.max_input_points,
+        extra=intens, xy_bits=10, z_bits=9,
+    )
 
 
 class SlamSystem:
@@ -233,32 +288,21 @@ class SlamSystem:
 
     def _add_keyframe(self, feats, mapped_pose: Pose, time: float) -> None:
         cfg = self.cfg
-        # Keyframe cloud: full-res local cloud, 0.4 m voxel (:629-631).
-        ri = feats.full
-        flat_xyz = ri.xyz.reshape(-1, 3)
-        flat_mask = ri.mask.reshape(-1)
-        # intensity = scanID + scanPeriod*relTime (scanRegistration.cpp:252);
-        # rides the voxel filter as a payload column and is voxel-averaged,
-        # matching PCL VoxelGrid's centroid over all fields.
-        n_rings = ri.xyz.shape[0]
-        intens = (
-            jnp.arange(n_rings, dtype=jnp.float32)[:, None]
-            + np.float32(cfg.sensor.scan_period) * ri.rel_time
-        ).reshape(-1, 1)
-        kf_xyz, kf_mask, kf_ext = voxel.voxel_downsample_packed(
-            flat_xyz, flat_mask, cfg.pgo.keyframe_voxel_size,
-            capacity=cfg.scancontext.max_input_points,
-            extra=intens,
-            xy_bits=10, z_bits=9,
+        # One fused jit for the whole device-side keyframe prep (voxel
+        # filter + intensity payload) — the previous eager intensity ops +
+        # separate dispatches cost ~162 ms/keyframe on the tunneled TPU
+        # (tools/bench_system.py attribution), dominated by per-op RPCs.
+        kf_xyz, kf_mask, kf_ext = _prepare_keyframe(
+            feats.full.xyz, feats.full.mask, feats.full.rel_time, cfg
         )
-        kf_xyz_np, kf_mask_np, kf_ext_np = jax.device_get(
-            (kf_xyz, kf_mask, kf_ext)
-        )
-        kf_np = kf_xyz_np[kf_mask_np]
+        # Start the D2H copies now, materialize lazily (ICP/artifacts) —
+        # the keyframe path itself never blocks on the ~23 ms tunnel RTT.
+        for a in (kf_xyz, kf_mask, kf_ext):
+            a.copy_to_host_async()
         self.keyframes.append(
             Keyframe(
-                cloud=kf_np, time=time, frame=self.frame_idx,
-                intensity=kf_ext_np[kf_mask_np, 0],
+                time=time, frame=self.frame_idx,
+                dev=(kf_xyz, kf_mask, kf_ext),
             )
         )
         self.kf_times.append(time)
@@ -271,7 +315,7 @@ class SlamSystem:
         # host-tracked keyframe count mirrors n_nodes, so no D2H fetch).
         self.graph = pg.ensure_node_slot(self.graph, len(self.keyframes) - 1)
         self.graph = pg.add_keyframe(
-            self.graph, mapped_pose, jnp.float32(gps_z), jnp.array(bool(gps_ok))
+            self.graph, mapped_pose, np.float32(gps_z), np.bool_(gps_ok)
         )
         if self._last_kf_pose is None:
             self._last_kf_pose = _np_pose(mapped_pose)

@@ -139,13 +139,16 @@ def ensure_loop_slot(graph: PoseGraph, n_loops_host: int) -> PoseGraph:
     return graph
 
 
-@jax.jit
+@functools.partial(jax.jit, donate_argnums=(0,))
 def add_keyframe(
     graph: PoseGraph, odom_pose: Pose, gps_z: jax.Array, gps_valid: jax.Array
 ) -> PoseGraph:
     """Append a node; the between factor to the previous node comes from the
     odometry increment (:663-690). New estimate = prev_estimate o rel (warm
-    start, like gtsam initialEstimate insertion)."""
+    start, like gtsam initialEstimate insertion).
+
+    graph is DONATED (in-place .at[].set updates instead of whole-table
+    copies per keyframe); callers rebind, which all do."""
     i = jnp.minimum(graph.n_nodes, graph.gps_z.shape[0] - 1)
     first = graph.n_nodes == 0
     prev = jnp.maximum(i - 1, 0)
@@ -179,7 +182,7 @@ def add_keyframe(
     )
 
 
-@jax.jit
+@functools.partial(jax.jit, donate_argnums=(0,))
 def add_loop(graph: PoseGraph, i: jax.Array, j: jax.Array, rel: Pose) -> PoseGraph:
     k = jnp.minimum(graph.n_loops, graph.loop_i.shape[0] - 1)
     return graph._replace(

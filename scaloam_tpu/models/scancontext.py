@@ -60,10 +60,15 @@ def grow_db(db: SCDatabase, new_capacity: int) -> SCDatabase:
     )
 
 
-@jax.jit
+@functools.partial(jax.jit, donate_argnums=(0,))
 def append_descriptor(db: SCDatabase, sc: jax.Array) -> SCDatabase:
     """saveScancontextAndKeys (:236-246). Clamps past capacity — host
-    wrappers call grow_db first, so the clamp is unreachable there."""
+    wrappers call grow_db first, so the clamp is unreachable there.
+
+    db is DONATED: without donation every append copies the full
+    descriptor table (~20 MB at 4096 keyframes) — measured as a large
+    share of the 162 ms/keyframe backend cost on the tunneled TPU.
+    Callers must rebind (db = append_descriptor(db, sc)); all do."""
     i = jnp.minimum(db.count, db.descriptors.shape[0] - 1)
     return SCDatabase(
         descriptors=db.descriptors.at[i].set(sc),
@@ -72,7 +77,7 @@ def append_descriptor(db: SCDatabase, sc: jax.Array) -> SCDatabase:
     )
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
 def make_and_append(
     db: SCDatabase, xyz: jax.Array, mask: jax.Array, cfg: ScanContextConfig
 ) -> Tuple[SCDatabase, jax.Array]:

@@ -75,42 +75,37 @@ def neighborhood_cov(pts: jax.Array) -> Tuple[jax.Array, jax.Array]:
 
 
 def fit_plane(pts: jax.Array) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """Least-squares plane through pts [..., K, 3]: solve A n = -1, then
-    normalize to (unit normal, d) with n.p + d ~= 0.
+    """Plane through pts [..., K, 3] as (unit_norm, neg_d, ok) with
+    n.p + neg_d ~= 0, sign convention n.centroid < 0 (the reference's
+    A n = -1 orientation).
 
-    Matches the colPivHouseholderQr fit of the reference
-    (src/laserMapping.cpp:651-666). Returns (unit_norm [..., 3], d [...],
-    ok [...]) where ok flags a well-conditioned solve."""
-    K = pts.shape[-2]
-    AtA = jnp.einsum("...ki,...kj->...ij", pts, pts, precision=_HI)
-    Atb = -jnp.sum(pts, axis=-2)
-    # Closed-form symmetric 3x3 solve (Cramer/adjugate): batched LU
-    # (jnp.linalg.solve) is far slower on TPU than these VPU formulas.
-    a = AtA[..., 0, 0]; b = AtA[..., 0, 1]; c = AtA[..., 0, 2]
-    d = AtA[..., 1, 1]; e = AtA[..., 1, 2]; f = AtA[..., 2, 2]
-    co00 = d * f - e * e
-    co01 = c * e - b * f
-    co02 = b * e - c * d
-    co11 = a * f - c * c
-    co12 = b * c - a * e
-    co22 = a * d - b * b
-    det = a * co00 + b * co01 + c * co02
-    ok = jnp.abs(det) > 1e-12
-    inv_det = jnp.where(ok, 1.0 / jnp.where(ok, det, 1.0), 0.0)
-    bx, by, bz = Atb[..., 0], Atb[..., 1], Atb[..., 2]
-    n = jnp.stack(
-        [
-            (co00 * bx + co01 * by + co02 * bz) * inv_det,
-            (co01 * bx + co11 * by + co12 * bz) * inv_det,
-            (co02 * bx + co12 * by + co22 * bz) * inv_det,
-        ],
-        axis=-1,
+    The reference solves A n = -1 by QR in f64 on RAW coordinates
+    (src/laserMapping.cpp:651-666). In f32 that system is hopeless:
+    cond(AtA) ~ (range/thickness)^2 (~1e7 at 20 m), measured as ~2 deg
+    normal error vs the f64 oracle (tests/test_golden_scanmatch.py).
+    Centered TLS instead: the smallest eigenvector of the CENTERED
+    covariance — equal to the A n = -1 normal up to
+    O(lambda_min/lambda_mid) mixing, far below the f32 error of the raw
+    solve, and the covariance entries are O(extent^2) so f32 is ample.
+    eigh3x3 returns the top eigenvector, so flip the spectrum with
+    (trace I - cov); its top separation is lambda_mid - lambda_min,
+    exactly the planar regime the validity gate accepts."""
+    mean, cov = neighborhood_cov(pts)
+    tr = cov[..., 0, 0] + cov[..., 1, 1] + cov[..., 2, 2]
+    eye = jnp.eye(3, dtype=pts.dtype)
+    vals_f, v = eigh3x3(tr[..., None, None] * eye - cov)
+    # flipped spectrum ascending = (tr - l_max, tr - l_mid, tr - l_min)
+    lam_min = tr - vals_f[..., 2]
+    lam_mid = tr - vals_f[..., 1]
+    # orientation: A n = -1 gives n.p ~ -1, i.e. unit n with n.mean < 0
+    s = jnp.where(jnp.sum(v * mean, axis=-1) > 0, -1.0, 1.0)
+    n = v * s[..., None]
+    neg_d = -jnp.sum(n * mean, axis=-1)
+    # degenerate neighborhoods (coincident/collinear points) have no
+    # separated smallest eigenvalue; the eigenvector is meaningless there
+    ok = (lam_mid > jnp.maximum(1e-12, 4.0 * lam_min)) & jnp.all(
+        jnp.isfinite(n), axis=-1
     )
-    norm = jnp.linalg.norm(n, axis=-1)
-    # Ill-conditioned solves overflow rather than trip the det gate; treat
-    # non-finite or exploded solutions as failed fits.
-    ok = ok & (norm > 1e-10) & (norm < 1e8) & jnp.all(jnp.isfinite(n), axis=-1)
-    norm_safe = jnp.where(ok, norm, 1.0)
     n = jnp.where(ok[..., None], n, 0.0)
-    inv = jnp.where(ok, 1.0 / norm_safe, 0.0)
-    return n * inv[..., None], inv, ok
+    neg_d = jnp.where(ok, neg_d, 0.0)
+    return n, neg_d, ok

@@ -166,20 +166,33 @@ def knn_grid(
     lo = jnp.floor((query - reach) / cell_size).astype(jnp.int32)
     hi = jnp.floor((query + reach) / cell_size).astype(jnp.int32)
     if 2 * reach <= cell_size:
-        # 8 candidate cells per query: each axis picks lo or hi.
+        # 8 candidate cells per query: each axis picks lo or hi. When
+        # lo == hi on an axis the combos collapse onto DUPLICATE cells —
+        # the same map point then fills several candidate slots and the
+        # iterated-argmin top-k (which masks slots, not points) returns it
+        # k times: degenerate covariance/plane fits and a 5th-NN distance
+        # that falsely passes the < 1 m gates (caught by
+        # tests/test_golden_scanmatch.py vs the exact numpy 5-NN). Keep
+        # only the canonical combo (the all-lo pick) for collapsed axes.
         combos = np.array(
             [[a, b, c] for a in (0, 1) for b in (0, 1) for c in (0, 1)]
         )  # [8, 3]
         cc8 = jnp.where(combos[None, :, :] > 0, hi[:, None, :], lo[:, None, :])
+        uniq = jnp.all(
+            (combos[None, :, :] == 0) | (hi != lo)[:, None, :], axis=-1
+        )  # [Q, 8]
     else:
-        # 27 cells: lo + {0,1,2} per axis (hi <= lo+2 guaranteed above).
+        # 27 cells: lo + {0,1,2} per axis — always distinct cells.
         combos = np.array(
             [[a, b, c] for a in (0, 1, 2) for b in (0, 1, 2) for c in (0, 1, 2)]
         )  # [27, 3]
         cc8 = lo[:, None, :] + combos[None, :, :]
+        uniq = None
     idx8 = _flat_idx(cc8, gx, gy, gz)  # [Q, 8]
     cand = grid.pts[idx8]  # [Q, 8, K, 3]
     d2 = jnp.sum((cand - query[:, None, None, :]) ** 2, axis=-1)
+    if uniq is not None:
+        d2 = jnp.where(uniq[:, :, None], d2, _BIG)
     d2 = d2.reshape(query.shape[0], -1)
     # Iterated argmin + one-hot payload select: cheaper than
     # top_k (a sort) + take_along_axis (re-lowers to another sort) for

@@ -34,7 +34,17 @@ from scaloam_tpu.models import odometry as odometry_mod
 from scaloam_tpu.ops import features
 from scaloam_tpu.types import LidarScan
 
-SEQ_AXIS = "kf"  # reuse the mesh's single axis; sequences shard over it
+SEQ_AXIS = "seq"  # preferred axis name; 1D meshes fall back to their axis
+
+
+def _seq_axis(mesh: Mesh) -> str:
+    """The mesh axis sequences shard over: "seq" on a 2D (seq, kf) mesh
+    (mesh.make_mesh2d — front-end and sharded backend coexist), else the
+    mesh's only axis (back-compat with the 1D "kf" mesh)."""
+    if SEQ_AXIS in mesh.axis_names:
+        return SEQ_AXIS
+    assert len(mesh.axis_names) == 1, mesh.axis_names
+    return mesh.axis_names[0]
 
 
 def init_states(n_seq: int, cfg: SlamConfig):
@@ -49,7 +59,7 @@ def init_states(n_seq: int, cfg: SlamConfig):
 
 def shard_states(states, mesh: Mesh):
     """Place stacked states with the leading axis sharded over the mesh."""
-    sh = NamedSharding(mesh, P(SEQ_AXIS))
+    sh = NamedSharding(mesh, P(_seq_axis(mesh)))
     return jax.tree.map(lambda x: jax.device_put(x, sh), states)
 
 
@@ -83,7 +93,7 @@ def frame_batch(o_states, m_states, scans_xyz, scans_mask, cfg: SlamConfig,
     collectives.
     """
     if mesh is not None:
-        sh = NamedSharding(mesh, P(SEQ_AXIS))
+        sh = NamedSharding(mesh, P(_seq_axis(mesh)))
         scans_xyz = jax.device_put(scans_xyz, sh)
         scans_mask = jax.device_put(scans_mask, sh)
     return _frame_batch(o_states, m_states, scans_xyz, scans_mask, cfg)
