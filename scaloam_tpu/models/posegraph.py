@@ -52,8 +52,16 @@ class PoseGraph(NamedTuple):
     gps_valid: jax.Array  # [N] bool
 
 
-def init_graph(cfg: PGOConfig) -> PoseGraph:
-    N, L = cfg.max_keyframes, cfg.max_loops
+def init_graph(cfg: PGOConfig, initial_nodes: int = 256,
+               initial_loops: int = 64) -> PoseGraph:
+    """Capacity = cost on TPU (every solve pays the PADDED node/loop count:
+    CG matvecs, the block-tridiagonal preconditioner factorization), so the
+    graph starts at a small tier and ensure_node_slot/ensure_loop_slot
+    double it on demand — one re-jit per tier instead of paying the
+    4096-node ceiling from keyframe #1 (266 ms/optimize measured at cap
+    4096 vs a ~60-node live graph, tools/bench_system.py)."""
+    N = min(cfg.max_keyframes, initial_nodes)
+    L = min(cfg.max_loops, initial_loops)
     return PoseGraph(
         poses=Pose.identity((N,)),
         odom_poses=Pose.identity((N,)),

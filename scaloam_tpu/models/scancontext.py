@@ -30,12 +30,17 @@ class SCDatabase(NamedTuple):
     count: jax.Array  # int32
 
 
-def init_db(cfg: ScanContextConfig) -> SCDatabase:
+def init_db(cfg: ScanContextConfig, initial: int = 256) -> SCDatabase:
+    """Starts at a small capacity tier; the host wrapper doubles on demand
+    (grow_db). Retrieval cost scales with the PADDED table (capacity =
+    cost on TPU), so a 4096-slot table from keyframe #1 pays 16x the
+    needed detect work for the first 256 keyframes."""
+    K = min(cfg.max_keyframes, initial)
     return SCDatabase(
         descriptors=jnp.zeros(
-            (cfg.max_keyframes, cfg.num_ring, cfg.num_sector), jnp.float32
+            (K, cfg.num_ring, cfg.num_sector), jnp.float32
         ),
-        ring_keys=jnp.zeros((cfg.max_keyframes, cfg.num_ring), jnp.float32),
+        ring_keys=jnp.zeros((K, cfg.num_ring), jnp.float32),
         count=jnp.array(0, jnp.int32),
     )
 
