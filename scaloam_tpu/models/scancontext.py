@@ -66,9 +66,10 @@ def grow_db(db: SCDatabase, new_capacity: int) -> SCDatabase:
 
 
 @functools.partial(jax.jit, donate_argnums=(0,))
-def append_descriptor(db: SCDatabase, sc: jax.Array) -> SCDatabase:
-    """saveScancontextAndKeys (:236-246). Clamps past capacity — host
-    wrappers call grow_db first, so the clamp is unreachable there.
+def append_descriptor_jit(db: SCDatabase, sc: jax.Array) -> SCDatabase:
+    """saveScancontextAndKeys (:236-246). RAW jit path: clamps past
+    capacity — callers must reserve a slot first (grow_db / SCManager's
+    host-tracked count) or use the `append_descriptor` host wrapper.
 
     db is DONATED: without donation every append copies the full
     descriptor table (~20 MB at 4096 keyframes) — measured as a large
@@ -82,6 +83,19 @@ def append_descriptor(db: SCDatabase, sc: jax.Array) -> SCDatabase:
     )
 
 
+def append_descriptor(
+    db: SCDatabase, sc: jax.Array, *, count: int | None = None
+) -> SCDatabase:
+    """Host wrapper: doubles the DB tier on demand, then appends. Pass
+    `count` (a host-tracked descriptor count) on hot paths to skip the
+    D2H fetch of db.count."""
+    n = int(db.count) if count is None else count
+    cap = db.descriptors.shape[0]
+    if n >= cap:
+        db = grow_db(db, max(2 * cap, n + 1))
+    return append_descriptor_jit(db, sc)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
 def make_and_append(
     db: SCDatabase, xyz: jax.Array, mask: jax.Array, cfg: ScanContextConfig
@@ -92,7 +106,7 @@ def make_and_append(
         num_ring=cfg.num_ring, num_sector=cfg.num_sector,
         max_radius=cfg.max_radius, lidar_height=cfg.lidar_height,
     )
-    return append_descriptor(db, sc), sc
+    return append_descriptor_jit(db, sc), sc
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -148,8 +162,7 @@ class SCManager:
         return sc
 
     def save_descriptor(self, sc: jax.Array) -> None:
-        self._ensure_slot()
-        self.db = append_descriptor(self.db, sc)
+        self.db = append_descriptor(self.db, sc, count=self._n)
         self._n += 1
 
     def detect_loop_closure_id(self) -> Tuple[int, float, float]:

@@ -30,6 +30,30 @@ from scaloam_tpu.parallel.mesh import KF_AXIS
 _initialized = False
 
 
+def _cluster_env_present() -> bool:
+    """True iff jax's cluster auto-detection would find a managed
+    environment — the exact registry jax.distributed.initialize consults
+    (jax._src.clusters.ClusterEnv), so pod auto-detect and this gate can
+    never disagree. Falls back to the documented env markers if the
+    private registry moves."""
+    try:
+        from jax._src.clusters import ClusterEnv
+
+        return any(
+            not env.opt_in_only_method and env.is_env_present()
+            for env in ClusterEnv._cluster_types
+        )
+    except Exception:
+        import os
+
+        markers = (
+            "JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
+            "SLURM_JOB_ID", "OMPI_MCA_orte_hnp_uri",
+            "TPU_WORKER_HOSTNAMES", "MEGASCALE_COORDINATOR_ADDRESS",
+        )
+        return any(k in os.environ for k in markers)
+
+
 def initialize(
     coordinator_address: Optional[str] = None,
     num_processes: Optional[int] = None,
@@ -49,17 +73,15 @@ def initialize(
     if num_processes in (None, 1) and coordinator_address is None and (
         process_id in (None, 0)
     ):
-        # Explicit single-process (or env-driven auto-detect on a platform
-        # with no cluster env): initialize only if the env declares a
-        # cluster, otherwise stay single-process without touching the
-        # distributed runtime.
-        import os
-
-        cluster_env = any(
-            k in os.environ
-            for k in ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS")
-        )
-        if not cluster_env:
+        # No-arg call: defer to jax's OWN cluster auto-detection (SLURM,
+        # Open MPI, GCE/GKE TPU pods, K8s) rather than re-implementing it
+        # with custom env names (ADVICE r2: a private env-var allowlist
+        # silently skipped pod auto-detect — the exact failure mode this
+        # gate exists to prevent). Probe the same registry
+        # jax.distributed.initialize consults; if no cluster env is
+        # present this is an explicit single-process run and we stay
+        # un-initialized.
+        if not _cluster_env_present():
             return
     jax.distributed.initialize(
         coordinator_address=coordinator_address,

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import PartitionSpec as P
 
-from scaloam_tpu.ops.gridmap import GridMap, _flat_idx
+from scaloam_tpu.ops.gridmap import GridMap, _flat_idx, candidate_cells8
 from scaloam_tpu.parallel.mesh import KF_AXIS
 
 _BIG = np.float32(1e30)
@@ -40,18 +40,18 @@ def knn_grid_sharded(
     assert C % n_dev == 0
     slab = C // n_dev
     K = grid.pts.shape[1]
-    combos = np.array(
-        [[a, b, c] for a in (0, 1) for b in (0, 1) for c in (0, 1)]
-    )
 
     def local(pts, q, qm):
         me = jax.lax.axis_index(KF_AXIS)
         base = me * slab
         lo = jnp.floor((q - reach) / cell_size).astype(jnp.int32)
         hi = jnp.floor((q + reach) / cell_size).astype(jnp.int32)
-        cc8 = jnp.where(combos[None, :, :] > 0, hi[:, None, :], lo[:, None, :])
+        # Shared combo construction incl. the canonical-combo dedup mask —
+        # same helper as the single-device knn_grid (ops/gridmap.py), so
+        # collapsed lo==hi axes cannot duplicate neighbors here either.
+        cc8, uniq = candidate_cells8(lo, hi)
         idx8 = _flat_idx(cc8, gx, gy, gz)  # [Q, 8] global cell ids
-        mine = (idx8 >= base) & (idx8 < base + slab)
+        mine = (idx8 >= base) & (idx8 < base + slab) & uniq
         loc = jnp.clip(idx8 - base, 0, slab - 1)
         # Empty/stale slots hold the far sentinel (ops.gridmap.init_grid),
         # so only the ownership mask is needed: a clipped non-owned index

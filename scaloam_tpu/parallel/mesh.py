@@ -28,6 +28,16 @@ def make_mesh2d(n_seq: int, n_kf: Optional[int] = None) -> Mesh:
     devs = jax.devices()
     if n_kf is None:
         n_kf = len(devs) // n_seq
+    if n_kf < 1:
+        raise ValueError(
+            f"make_mesh2d: {n_seq} sequences over {len(devs)} devices "
+            f"leaves no room for the kf axis (need n_seq <= device count)"
+        )
+    if n_seq * n_kf > len(devs):
+        raise ValueError(
+            f"make_mesh2d: requested {n_seq}x{n_kf} mesh exceeds the "
+            f"{len(devs)} available devices"
+        )
     devs = np.array(devs[: n_seq * n_kf]).reshape(n_seq, n_kf)
     return Mesh(devs, (SEQ_AXIS, KF_AXIS))
 

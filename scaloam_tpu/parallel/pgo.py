@@ -46,7 +46,7 @@ def optimize_sharded(graph: PoseGraph, cfg: PGOConfig, mesh, cg_iters: int = 64)
     )
 
     def shard_fn(
-        poses_q, poses_t, n_nodes, n_loops,
+        poses_q, poses_t, n_nodes, n_loops, chain_break,
         o_i, o_j, o_zq, o_zt,  # odometry factor slice
         l_i, l_j, l_zq, l_zt, l_slot,  # loop factor slice
         g_i, g_z, g_valid,  # gps slice
@@ -57,7 +57,8 @@ def optimize_sharded(graph: PoseGraph, cfg: PGOConfig, mesh, cg_iters: int = 64)
         def linearize(poses: Pose):
             xi, xj = _take(poses, o_i), _take(poses, o_j)
             r_o, Ji_o, Jj_o = _between_batch(xi, xj, Pose(o_zq, o_zt))
-            v_o = o_i < n_nodes - 1
+            # invalid past the node count and across sequence boundaries
+            v_o = (o_i < n_nodes - 1) & ~chain_break[o_j]
             W_o = jnp.broadcast_to(w_odom, r_o.shape)
 
             xi_l, xj_l = _take(poses, l_i), _take(poses, l_j)
@@ -191,7 +192,7 @@ def optimize_sharded(graph: PoseGraph, cfg: PGOConfig, mesh, cg_iters: int = 64)
             shard_fn,
             mesh=mesh,
             in_specs=(
-                spec_rep, spec_rep, spec_rep, spec_rep,
+                spec_rep, spec_rep, spec_rep, spec_rep, spec_rep,
                 spec_shard, spec_shard, spec_shard, spec_shard,
                 spec_shard, spec_shard, spec_shard, spec_shard, spec_shard,
                 spec_shard, spec_shard, spec_shard,
@@ -201,6 +202,7 @@ def optimize_sharded(graph: PoseGraph, cfg: PGOConfig, mesh, cg_iters: int = 64)
         )
     )(
         graph.poses.quat, graph.poses.trans, graph.n_nodes, graph.n_loops,
+        graph.chain_break,
         ks, odom_j, graph.odom_rel.quat, graph.odom_rel.trans,
         graph.loop_i, graph.loop_j, graph.loop_rel.quat, graph.loop_rel.trans,
         jnp.arange(L),

@@ -111,6 +111,12 @@ def main(argv=None) -> int:
         for t, alt in seq.gps_events():
             sys_.add_gps(t, alt)
 
+    if args.out:
+        # Continuous per-optimize-cycle artifact flush (the reference's
+        # crash-checkpointing dump, laserPosegraphOptimization.cpp:803-805):
+        # a killed run leaves a resumable session, not nothing.
+        sys_.attach_session_writer(args.out)
+
     timer = StageTimer(budget_ms=cfg.runtime.stage_budget_ms)
     n = 0
     t_start = time.time()

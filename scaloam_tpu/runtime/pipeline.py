@@ -92,7 +92,12 @@ class AsyncSlamPipeline:
             self.sys.o_state, o_out = odometry_mod.odometry_step(
                 self.sys.o_state, feats, self.cfg
             )
-            self.odom_results.append((t, np.asarray(o_out.world.trans)))
+            # Start the D2H copy but do NOT block: a per-frame np.asarray
+            # here is a ~23 ms tunnel RTT that serializes this worker at
+            # ~40 scans/s (the r2 front-end-vs-e2e gap). finish()
+            # materializes from the completed async copies.
+            o_out.world.trans.copy_to_host_async()
+            self.odom_results.append((t, o_out.world.trans))
             # Republished clouds for mapping: the post-step last_* (de-skewed
             # to sweep end under DISTORTION; == feats.less_* otherwise).
             # Captured here, not in the mapping worker — o_state advances.
@@ -116,12 +121,16 @@ class AsyncSlamPipeline:
             self.sys.m_state, m_out = mapping_mod.mapping_step(
                 self.sys.m_state, odom_pose, reg_corner, reg_surf, self.cfg,
             )
-            # ONE batched D2H here; the backend's keyframe gate then works
-            # on host numpy instead of re-fetching quat+trans (each
-            # separate fetch is a ~23 ms RTT on the tunneled TPU).
-            mq, mt = jax.device_get((m_out.pose.quat, m_out.pose.trans))
-            self.mapped_results.append((t, np.asarray(mt)))
-            self.kf_q.put((t, Pose(np.asarray(mq), np.asarray(mt)), feats))
+            # Async D2H: blocking here (jax.device_get) serialized this
+            # worker at one ~23 ms tunnel RTT per frame — the dominant
+            # share of the r2 93.6-front-end vs 23.3-e2e gap. The copies
+            # complete in the background; the backend's keyframe gate
+            # materializes them (served from the host cache) a queue-hop
+            # later, overlapped with the next frames' device work.
+            m_out.pose.quat.copy_to_host_async()
+            m_out.pose.trans.copy_to_host_async()
+            self.mapped_results.append((t, m_out.pose.trans))
+            self.kf_q.put((t, m_out.pose, feats))
 
     def _backend_worker(self):
         from scaloam_tpu.models import posegraph as pg
@@ -136,10 +145,20 @@ class AsyncSlamPipeline:
                     self.kf_q.closed and len(self.kf_q) == 0
                 ):
                     # Drain: one final loop-detect pass on the last keyframe
-                    # so short offline runs aren't cadence-starved.
-                    if kf_since_lcd and not self._stop.is_set():
+                    # so short offline runs aren't cadence-starved — and a
+                    # final optimize so a loop edge added here (or keyframes
+                    # landed after the last pgo_hz tick) actually reaches
+                    # the trajectory (ADVICE r2: detect-without-apply).
+                    if not self._stop.is_set():
                         with self._lock:
-                            self.sys._detect_and_verify_loop()
+                            if kf_since_lcd:
+                                self.sys._detect_and_verify_loop()
+                            if len(self.sys.keyframes) > 1:
+                                self.sys.graph = pg.optimize(
+                                    self.sys.graph, self.cfg.pgo
+                                )
+                            if self.sys._writer is not None:
+                                self.sys.flush_artifacts()
                     return
                 continue
             t, mapped_pose, feats = item
@@ -163,6 +182,9 @@ class AsyncSlamPipeline:
                 with self._lock:
                     if len(self.sys.keyframes) > 1:
                         self.sys.graph = pg.optimize(self.sys.graph, self.cfg.pgo)
+                    # per-cycle artifact dump (reference :803-805)
+                    if self.sys._writer is not None:
+                        self.sys.flush_artifacts()
                 last_opt = now
 
     # -- lifecycle ------------------------------------------------------------
@@ -187,6 +209,14 @@ class AsyncSlamPipeline:
         deadline = time.time() + timeout
         for th in self._threads:
             th.join(max(0.1, deadline - time.time()))
+        # Materialize the per-frame results from the async D2H copies the
+        # workers started (cheap: served from the completed host cache).
+        self.odom_results = [
+            (t, np.asarray(x)) for t, x in self.odom_results
+        ]
+        self.mapped_results = [
+            (t, np.asarray(x)) for t, x in self.mapped_results
+        ]
 
     def abort(self, timeout: float = 30.0) -> None:
         """Hard shutdown: stages exit at the next queue poll, dropping any

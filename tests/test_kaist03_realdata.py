@@ -268,6 +268,39 @@ def test_icp_verify_rejects_garbage_source(kaist):
 
 
 # ---------------------------------------------------------------------------
+# (b2) FULL pipeline on the real scan sequence (front-end on real returns)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.slow
+def test_full_pipeline_real_scan_sequence():
+    """The 21 real KAIST03 clouds fed as a SCAN SEQUENCE through the whole
+    pipeline: features -> odometry -> mapping -> keyframes -> SC -> PGO,
+    scored against the shipped optimized_poses.txt rows (VERDICT r2 task 2
+    — the front-end's first real-data evidence; before this every
+    feature/odometry/mapping validation was synthetic).
+
+    The clouds are ~1.2 m apart (keyframe-scale motion — the reference's
+    2-outer-pass GN handles it) and already 0.4 m-downsampled. Calibrated
+    on CPU (tools/kaist03_e2e.py): ATE 0.031 m, final error 0.26 m over
+    the 23.6 m course (~1.1% drift, dominated by slow z-drift)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "kaist03_e2e",
+        os.path.join(os.path.dirname(__file__), "..", "tools", "kaist03_e2e.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    out = mod.run(verbose=False)
+    assert out["keyframes"] >= 19  # ~1.2 m spacing vs the 1 m gate
+    assert out["ate_rmse_m"] < 0.1, out
+    assert out["final_err_m"] < 0.6, out
+    assert out["max_frame_err_m"] < 0.6, out
+
+
+# ---------------------------------------------------------------------------
 # (c) PGO over the real pose chain
 # ---------------------------------------------------------------------------
 

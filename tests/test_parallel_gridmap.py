@@ -35,7 +35,12 @@ def test_sharded_knn_grid_matches(mesh8, rng):
     d2, nn2 = pgrid.knn_grid_sharded(
         mesh8, grid, jnp.asarray(q), qm, GX, GY, GZ, CS, reach=1.0, k=5
     )
-    np.testing.assert_allclose(np.asarray(d2), np.asarray(d1), atol=1e-5)
+    # rtol 3e-7: XLA fuses the (cand - q)^2 sums differently inside vs
+    # outside shard_map — last-ulp f32 reassociation on large (beyond-
+    # reach) distances, not a semantic difference.
+    np.testing.assert_allclose(
+        np.asarray(d2), np.asarray(d1), atol=1e-5, rtol=3e-7
+    )
     # neighbor sets agree where distances are within reach
     close = np.asarray(d1) < 1.0
     np.testing.assert_allclose(

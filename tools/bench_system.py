@@ -105,11 +105,9 @@ def main():
                 z = sys_._icp_verify(len(sys_.keyframes) - 1, idx, yaw)
                 icp_ms.append(1e3 * (time.time() - t0))
                 if z is not None:
-                    sys_.graph = pg.ensure_loop_slot(
-                        sys_.graph, len(sys_.loops_found))
                     sys_.graph = pg.add_loop(
                         sys_.graph, np.int32(len(sys_.keyframes) - 1),
-                        np.int32(idx), z)
+                        np.int32(idx), z, n_loops=len(sys_.loops_found))
                     sys_.loops_found.append((len(sys_.keyframes) - 1, idx))
             if (len(sys_.keyframes) % cfg.pgo.optimize_every_n_keyframes) == 0:
                 t0 = time.time()
