@@ -372,6 +372,53 @@ def cummax_blocked(v: jax.Array) -> jax.Array:
     return jnp.maximum(within, offs[:, None]).reshape(-1)[:n]
 
 
+def split3_f32(x: jax.Array):
+    """Split f32 x into three bf16-exact f32 terms with x == x1 + x2 + x3
+    bit-exactly (8+8+8 mantissa bits cover f32's 24; each residual is
+    Sterbenz-exact). Used to make one-hot payload selects exact at DEFAULT
+    (single-pass bf16) matmul cost x3 — HIGHEST costs 6 passes, and the
+    one-hot side needs no splitting (0/1 is bf16-exact), so this halves the
+    exact-select MXU work (the r2 precision fix cost ~0.45 ms/frame,
+    tools/profile_ablate.py r3)."""
+    # The split MUST be built with integer bit-masking, not convert pairs:
+    # XLA's excess-precision pass (on by default) folds
+    # convert(convert(x, bf16), f32) so `x - f32(bf16(x))` collapses to
+    # zero and the whole split degenerates to ONE bf16 pass — measured on
+    # this TPU as exactly the single-pass error (maxerr 2^24*2^-9), with
+    # optimization barriers making no difference. Masking the low 16 bits
+    # keeps the top 8 significand bits (= truncation to bf16, exactly
+    # representable); each residual then holds the next 8, so three terms
+    # cover f32's 24. Integer ops are opaque to the precision folding.
+    def bf16_trunc(v):
+        u = jax.lax.bitcast_convert_type(v, jnp.uint32)
+        return jax.lax.bitcast_convert_type(
+            u & np.uint32(0xFFFF0000), jnp.float32
+        )
+
+    x1 = bf16_trunc(x)
+    r = x - x1  # exact: <= 16 significant bits remain
+    x2 = bf16_trunc(r)
+    x3 = r - x2  # exact and bf16-exact: <= 8 significant bits remain
+    # Belt-and-braces: keep the three terms opaque so the algebraic
+    # simplifier cannot fold dot(h,x1)+dot(h,x2)+dot(h,x3) into
+    # dot(h, x1+x2+x3) (= one bf16 pass of x) either.
+    return jax.lax.optimization_barrier((x1, x2, x3))
+
+
+def exact_onehot_select(eq: str, hot: jax.Array, payload: jax.Array) -> jax.Array:
+    """einsum(eq, hot, payload) that round-trips f32 payload values
+    bit-exactly: the payload is 3-way bf16-split (see split3_f32) and the
+    three DEFAULT matmuls' f32 partial sums reassemble exactly (each term
+    lands on disjoint mantissa bits; exactly one hot entry per output)."""
+    p1, p2, p3 = split3_f32(payload)
+    h = hot.astype(jnp.float32)
+
+    def mm(p):
+        return jnp.einsum(eq, h, p, preferred_element_type=jnp.float32)
+
+    return (mm(p1) + mm(p2)) + mm(p3)
+
+
 def argmin_topk(
     d: jax.Array, k: int, payload: Optional[jax.Array] = None
 ) -> Tuple[jax.Array, Optional[jax.Array]]:
@@ -390,21 +437,24 @@ def argmin_topk(
     cols = jnp.arange(d.shape[1])[None, :]
     vals, rows = [], []
     dd = d
+    # The payload is split ONCE outside the k-iteration (the split is the
+    # VPU part; the per-iteration work is the three small matmuls).
+    if payload is not None:
+        p123 = split3_f32(payload)
     for _ in range(k):
         j = jnp.argmin(dd, axis=1)
         hot = cols == j[:, None]
         vals.append(jnp.min(dd, axis=1))
         if payload is not None:
-            rows.append(
-                jnp.einsum(
-                    "qm,qmc->qc", hot.astype(payload.dtype), payload,
-                    preferred_element_type=payload.dtype,
-                    # HIGHEST: default TPU matmuls run bf16 — payload rows
-                    # carry exact coords + float index channels and must
-                    # round-trip bit-exactly through the one-hot select.
-                    precision=jax.lax.Precision.HIGHEST,
-                )
-            )
+            # exact select (coords + float index channels must round-trip
+            # bit-exactly): 3 single-pass bf16 matmuls, see split3_f32.
+            h = hot.astype(jnp.float32)
+            terms = [
+                jnp.einsum("qm,qmc->qc", h, p,
+                           preferred_element_type=jnp.float32)
+                for p in p123
+            ]
+            rows.append((terms[0] + terms[1]) + terms[2])
         dd = jnp.where(hot, _BIG, dd)
     return (
         jnp.stack(vals, axis=1),
@@ -556,23 +606,20 @@ def _tile_top2_payload(d: jax.Array, tgt_payload: jax.Array, cols: jax.Array):
     """Smallest two entries per row of d [Q, tile] by double argmin, with
     the winner ROWS of tgt_payload [tile, C] selected via one-hot matmul
     (MXU) instead of index bookkeeping + post-scan gathers. Returns
-    (v1, p1 [Q, C], v2, p2)."""
-    # HIGHEST: default TPU matmuls execute bf16 single-pass — the payload
-    # rows carry exact coordinates and float-encoded indices (up to 2^24)
-    # that must round-trip bit-exactly through the one-hot select. The
-    # distance cross-terms elsewhere stay DEFAULT (they only rank).
-    hi = jax.lax.Precision.HIGHEST
+    (v1, p1 [Q, C], v2, p2).
+
+    The payload rows carry exact coordinates and float-encoded indices (up
+    to 2^24) that must round-trip bit-exactly through the one-hot select —
+    exact_onehot_select (3-way bf16 split, 3 single-pass matmuls) gives
+    that at half the MXU passes of Precision.HIGHEST. The distance
+    cross-terms elsewhere stay DEFAULT (they only rank)."""
     j1 = jnp.argmin(d, axis=1)
     v1 = jnp.min(d, axis=1)
-    h1 = (cols == j1[:, None]).astype(jnp.float32)
-    p1 = jnp.dot(h1, tgt_payload, preferred_element_type=jnp.float32,
-                 precision=hi)
+    p1 = exact_onehot_select("qm,mc->qc", cols == j1[:, None], tgt_payload)
     dd = jnp.where(cols == j1[:, None], _BIG, d)
     j2 = jnp.argmin(dd, axis=1)
     v2 = jnp.min(dd, axis=1)
-    h2 = (cols == j2[:, None]).astype(jnp.float32)
-    p2 = jnp.dot(h2, tgt_payload, preferred_element_type=jnp.float32,
-                 precision=hi)
+    p2 = exact_onehot_select("qm,mc->qc", cols == j2[:, None], tgt_payload)
     return v1, p1, v2, p2
 
 

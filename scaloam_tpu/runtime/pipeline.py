@@ -56,10 +56,29 @@ class AsyncSlamPipeline:
         self._threads: List[threading.Thread] = []
         self._stop = threading.Event()
         self._lock = threading.Lock()
+        # Serializes each stage's FIRST frame (= its jit compiles): jax's
+        # persistent compilation cache segfaults under concurrent
+        # compile+cache access from multiple threads (observed 3x in this
+        # environment: SIGSEGV/SIGABRT in _cache_read /
+        # backend_compile_and_load when all four stage threads compile
+        # simultaneously on the first frames). Steady state is lock-free.
+        self._compile_lock = threading.Lock()
 
     # -- stages ---------------------------------------------------------------
 
+    def _first_frame_guard(self, done: list):
+        """Context for a stage's first processed frame: hold the compile
+        lock so stage compiles never run concurrently (see _compile_lock).
+        `done` is a single-element mutable flag owned by the caller."""
+        import contextlib
+
+        if done[0]:
+            return contextlib.nullcontext()
+        done[0] = True
+        return self._compile_lock
+
     def _registration_worker(self):
+        first = [False]
         while True:
             item = self.scan_q.get(timeout=0.2)
             if item is None:
@@ -74,11 +93,13 @@ class AsyncSlamPipeline:
                     return
                 continue
             t, pts = item
-            scan = LidarScan.from_numpy(pts, self.cfg.sensor.max_points)
-            feats = features.extract_features(scan, self.cfg)
+            with self._first_frame_guard(first):
+                scan = LidarScan.from_numpy(pts, self.cfg.sensor.max_points)
+                feats = features.extract_features(scan, self.cfg)
             self.feat_q.put((t, feats))
 
     def _odometry_worker(self):
+        first = [False]
         while True:
             item = self.feat_q.get(timeout=0.2)
             if item is None:
@@ -89,9 +110,10 @@ class AsyncSlamPipeline:
                     return
                 continue
             t, feats = item
-            self.sys.o_state, o_out = odometry_mod.odometry_step(
-                self.sys.o_state, feats, self.cfg
-            )
+            with self._first_frame_guard(first):
+                self.sys.o_state, o_out = odometry_mod.odometry_step(
+                    self.sys.o_state, feats, self.cfg
+                )
             # Start the D2H copy but do NOT block: a per-frame np.asarray
             # here is a ~23 ms tunnel RTT that serializes this worker at
             # ~40 scans/s (the r2 front-end-vs-e2e gap). finish()
@@ -107,6 +129,7 @@ class AsyncSlamPipeline:
             ))
 
     def _mapping_worker(self):
+        first = [False]
         get = self.map_q.get_latest if self.drop_backlog else self.map_q.get
         while True:
             item = get(timeout=0.2)
@@ -118,9 +141,11 @@ class AsyncSlamPipeline:
                     return
                 continue
             t, odom_pose, feats, reg_corner, reg_surf = item
-            self.sys.m_state, m_out = mapping_mod.mapping_step(
-                self.sys.m_state, odom_pose, reg_corner, reg_surf, self.cfg,
-            )
+            with self._first_frame_guard(first):
+                self.sys.m_state, m_out = mapping_mod.mapping_step(
+                    self.sys.m_state, odom_pose, reg_corner, reg_surf,
+                    self.cfg,
+                )
             # Async D2H: blocking here (jax.device_get) serialized this
             # worker at one ~23 ms tunnel RTT per frame — the dominant
             # share of the r2 93.6-front-end vs 23.3-e2e gap. The copies
@@ -135,6 +160,7 @@ class AsyncSlamPipeline:
     def _backend_worker(self):
         from scaloam_tpu.models import posegraph as pg
 
+        first = [False]
         last_opt = time.time()
         last_lcd = 0.0
         kf_since_lcd = False
@@ -164,7 +190,8 @@ class AsyncSlamPipeline:
             t, mapped_pose, feats = item
             with self._lock:
                 if self.sys._keyframe_gate(mapped_pose):
-                    self.sys._add_keyframe(feats, mapped_pose, t)
+                    with self._first_frame_guard(first):
+                        self.sys._add_keyframe(feats, mapped_pose, t)
                     kf_since_lcd = True
             # Loop detection runs on the LATEST keyframe at
             # loop_detection_hz, like the reference's process_lcd thread
@@ -189,16 +216,46 @@ class AsyncSlamPipeline:
 
     # -- lifecycle ------------------------------------------------------------
 
-    def start(self) -> None:
-        for fn in (
-            self._registration_worker,
-            self._odometry_worker,
-            self._mapping_worker,
-            self._backend_worker,
-        ):
-            th = threading.Thread(target=fn, daemon=True)
-            th.start()
-            self._threads.append(th)
+    def _precompile_stages(self) -> None:
+        """Compile the front-end stage executables on the CALLING thread
+        (throwaway states, one dummy frame) so the worker threads never
+        compile them. XLA:CPU compilation aborted/segfaulted repeatedly
+        when the mapping worker thread compiled mapping_step late in a
+        long-running process (fixed 8 MB pthread stacks vs the main
+        thread's growable stack is the prime suspect); on TPU this also
+        front-loads the remote compiles before the pipeline overlaps."""
+        cfg = self.cfg
+        scan = LidarScan.from_numpy(
+            np.zeros((16, 3), np.float32), cfg.sensor.max_points
+        )
+        feats = features.extract_features(scan, cfg)
+        o_tmp = odometry_mod.init_state(cfg)
+        o_tmp, o_out = odometry_mod.odometry_step(o_tmp, feats, cfg)
+        m_tmp = mapping_mod.init_state(cfg)
+        m_tmp, m_out = mapping_mod.mapping_step(
+            m_tmp, o_out.world, o_tmp.last_corner, o_tmp.last_surf, cfg
+        )
+        jax.block_until_ready(m_out.pose.trans)
+
+    def start(self, precompile: bool = True) -> None:
+        if precompile:
+            self._precompile_stages()
+        # Generous worker stacks: XLA:CPU/LLVM compilation recurses deeply
+        # and a worker with the default fixed-size pthread stack crashed
+        # where the (growable-stack) main thread compiles fine.
+        old_stack = threading.stack_size(64 * 1024 * 1024)
+        try:
+            for fn in (
+                self._registration_worker,
+                self._odometry_worker,
+                self._mapping_worker,
+                self._backend_worker,
+            ):
+                th = threading.Thread(target=fn, daemon=True)
+                th.start()
+                self._threads.append(th)
+        finally:
+            threading.stack_size(old_stack)
 
     def feed(self, time_s: float, points: np.ndarray) -> None:
         self.scan_q.put((time_s, points))

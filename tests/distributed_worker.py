@@ -50,6 +50,27 @@ def main() -> int:
     import numpy as np
     import jax.numpy as jnp
 
+    # Gloo's context handshake has a FIXED ~30 s GetKeyValue deadline that
+    # starts when the first process EXECUTES its first collective. Cold
+    # imports/compiles skew the two processes by more than that on this
+    # 2-core host (observed: DEADLINE_EXCEEDED on cpu:gloo/0,1/...), so
+    # (a) rendezvous at the coordinator with a generous timeout, then
+    # (b) establish the gloo context with one tiny same-cost collective
+    # while the processes are aligned.
+    from jax._src import distributed as _dist_state
+
+    _dist_state.global_state.client.wait_at_barrier(
+        "worker_imports_done", timeout_in_ms=600_000
+    )
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    warm_mesh = Mesh(np.array(jax.devices()), ("w",))
+    tiny = jax.shard_map(
+        lambda x: jax.lax.psum(x, "w"),
+        mesh=warm_mesh, in_specs=P("w"), out_specs=P(),
+    )(jnp.ones((len(jax.devices()),), jnp.float32))
+    assert float(np.asarray(tiny)[0]) == len(jax.devices())
+
     from scaloam_tpu.config import PGOConfig, ScanContextConfig
     from scaloam_tpu.models import posegraph as pg
     from scaloam_tpu.models import scancontext as scm

@@ -11,6 +11,31 @@ from scaloam_tpu import config
 from scaloam_tpu.runtime.queues import BoundedQueue
 
 
+@pytest.fixture
+def no_persistent_compile_cache():
+    """XLA:CPU segfaults/aborts when compiling this file's BIG fresh
+    executables (vlp16@8192 feature/odometry/mapping kernels) late in a
+    process that has accumulated the whole suite's executables —
+    reproduced 5x at the same suite position with the cache on, off, from
+    worker threads AND from the main thread, while either half of the
+    suite alone passes (JIT code-memory exhaustion class). Mitigate by
+    dropping all accumulated executables first, and keep the persistent
+    cache out of the picture for these tests (its read/write paths were
+    implicated in earlier crashes too)."""
+    import jax
+    from jax._src import compilation_cache as cc
+
+    jax.clear_caches()
+    # Changing the cache DIR is not enough: the cache object and the
+    # is_cache_used verdict are cached globally once initialized —
+    # disable the feature flag AND reset so the next check re-evaluates.
+    jax.config.update("jax_enable_compilation_cache", False)
+    cc.reset_cache()
+    yield
+    jax.config.update("jax_enable_compilation_cache", True)
+    cc.reset_cache()
+
+
 def test_bounded_queue_drop_oldest():
     q = BoundedQueue(maxlen=3)
     for i in range(5):
@@ -37,7 +62,7 @@ def test_bounded_queue_close_unblocks():
 
 
 @pytest.mark.slow
-def test_async_pipeline_matches_sync_odometry():
+def test_async_pipeline_matches_sync_odometry(no_persistent_compile_cache):
     from scaloam_tpu.models.pipeline import SlamSystem
     from scaloam_tpu.runtime.pipeline import AsyncSlamPipeline
     from scaloam_tpu.utils import synthetic
@@ -75,7 +100,7 @@ def test_async_pipeline_matches_sync_odometry():
         np.testing.assert_allclose(got, want, atol=1e-4)
 
 
-def test_async_pipeline_drains_backlog_on_finish():
+def test_async_pipeline_drains_backlog_on_finish(no_persistent_compile_cache):
     """finish() right after feeding must DRAIN, not kill, the stages: exit
     conditions are closed-and-empty input queues, never a stop flag checked
     against a momentarily-empty queue (that races with a slow upstream and

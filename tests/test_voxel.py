@@ -307,11 +307,15 @@ def test_rows_voxel_dropped_count():
     assert int(drop) > 0
 
 
-def test_payload_matmuls_lower_at_highest_precision():
-    """ADVICE r1 (high): the one-hot payload selections must lower with
-    precision=HIGHEST — TPU f32 matmuls otherwise execute single-pass bf16
-    and quantize the carried coordinates/float-index channels. CPU runs
-    can't observe the quantization, so assert it in the lowered HLO."""
+def test_payload_matmuls_lower_exact():
+    """ADVICE r1 (high), reworked in r3: the one-hot payload selections
+    must carry coordinates/float-index channels bit-exactly through TPU
+    matmuls. r2 used precision=HIGHEST (6 bf16 passes); r3 uses the
+    bit-masked 3-way split (split3_f32 + exact_onehot_select, 3 passes,
+    verified bit-exact on the real chip — CLAUDE.md r3 notes). CPU runs
+    can't observe bf16 quantization, so pin the mechanism in the lowered
+    HLO: the split's optimization_barrier must be present (it is also
+    what keeps XLA from folding the three dots back into one bf16 pass)."""
     from scaloam_tpu.ops import correspond
 
     q = jnp.zeros((8, 3))
@@ -320,12 +324,12 @@ def test_payload_matmuls_lower_at_highest_precision():
     txt = jax.jit(
         lambda *a: voxel.knn2_payload(*a, tile=64)
     ).lower(q, jnp.ones(8, bool), t, jnp.ones(64, bool), pl).as_text()
-    assert "HIGHEST" in txt
+    assert "optimization_barrier" in txt
 
     txt = jax.jit(
         lambda d, p: voxel.argmin_topk(d, 2, p)
     ).lower(jnp.zeros((8, 64)), jnp.zeros((8, 64, 3))).as_text()
-    assert "HIGHEST" in txt
+    assert "optimization_barrier" in txt
 
     txt = jax.jit(
         lambda *a: correspond.ring_constrained_nn2_pts(*a, tile=64)
@@ -333,7 +337,7 @@ def test_payload_matmuls_lower_at_highest_precision():
         q, jnp.ones(8, bool), jnp.zeros(8), jnp.zeros(8, jnp.int32),
         t, jnp.ones(64, bool), jnp.zeros(64), 2.5,
     ).as_text()
-    assert "HIGHEST" in txt
+    assert "optimization_barrier" in txt
 
 
 def test_knn2_payload_float_index_roundtrip():
@@ -352,3 +356,28 @@ def test_knn2_payload_float_index_roundtrip():
     )
     got = np.asarray(P[:, 0, 3])
     assert np.all(got == np.round(got))  # exact integers, no bf16 rounding
+
+
+def test_split3_exact_onehot_select(rng):
+    """split3_f32 must reconstruct f32 bit-exactly and exact_onehot_select
+    must return payload rows unchanged — coords and float-encoded indices
+    (up to 2^24) ride one-hot matmuls through bf16 MXU passes (the r2
+    precision bug class: DEFAULT bf16 rounded them; HIGHEST fixed it at 6
+    passes; the 3-way split is exact at 3)."""
+    pay = np.concatenate(
+        [
+            rng.uniform(-120, 120, (512, 4)).astype(np.float32),
+            rng.integers(0, 2**24, (512, 1)).astype(np.float32),
+        ],
+        axis=1,
+    )
+    x1, x2, x3 = voxel.split3_f32(jnp.asarray(pay))
+    np.testing.assert_array_equal(
+        np.asarray(x1) + np.asarray(x2) + np.asarray(x3), pay
+    )
+    hot = np.zeros((64, 512), bool)
+    hot[np.arange(64), rng.integers(0, 512, 64)] = True
+    sel = voxel.exact_onehot_select(
+        "qm,mc->qc", jnp.asarray(hot), jnp.asarray(pay)
+    )
+    np.testing.assert_array_equal(np.asarray(sel), pay[np.argmax(hot, 1)])

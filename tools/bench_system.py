@@ -32,12 +32,9 @@ from scaloam_tpu.utils import synthetic
 def make_course(n_frames=160, radius=22.0):
     # 2*pi*22 ~ 138 frames closes the circle at 1 m/frame: loops fire in
     # the last ~20 frames.
-    world = synthetic.make_world(seed=0, n_boxes=60, extent=70.0)
-    scans, _ = synthetic.simulate_trajectory(
-        world, n_frames=n_frames, speed=1.0, radius=radius,
-        n_scans=64, n_azimuth=2048, seed=7,
-    )
-    return scans
+    from tools.scan_cache import get_scans
+
+    return get_scans(n_frames, seed_world=0, speed=1.0, radius=radius)
 
 
 def main():

@@ -31,11 +31,9 @@ from scaloam_tpu.utils import synthetic
 cfg = config.kitti_hdl64()
 N = 30            # frames per timed loop
 n_frames = 3 + 8 * N  # warmup + (4 ablations x 2 passes) x N unique scans
-world = synthetic.make_world(seed=3, n_boxes=60, extent=70.0)
-scans, _ = synthetic.simulate_trajectory(
-    world, n_frames=n_frames, speed=1.2, radius=40.0,
-    n_scans=64, n_azimuth=2048, seed=7,
-)
+from tools.scan_cache import get_scans
+
+scans = get_scans(n_frames)
 device_scans = [LidarScan.from_numpy(s, cfg.sensor.max_points) for s in scans]
 for d in device_scans:
     jax.block_until_ready(d.xyz)
