@@ -186,14 +186,28 @@ def _prepare_keyframe(ri_xyz, ri_mask, ri_rel_time, cfg: SlamConfig):
 
 
 class SlamSystem:
-    """Stateful host orchestrator over jitted device stages."""
+    """Stateful host orchestrator over jitted device stages.
 
-    def __init__(self, cfg: SlamConfig):
+    `backend_device`: optional second chip for the backend stage
+    (pose graph + ScanContext DB + keyframe prep state live there; the
+    front-end keeps the default device). This is pipeline parallelism
+    across chips — the reference's process-per-stage topology mapped to
+    devices: the backend's SC retrieval / ICP / PGO solves then no longer
+    steal front-end device time (the r3 single-chip e2e bottleneck,
+    BENCH_SYSTEM_r03.json); only the per-keyframe cloud/pose crosses the
+    ICI at the stage boundary, exactly where the reference pays a TCPROS
+    hop (launch/aloam_mulran.launch:30-33)."""
+
+    def __init__(self, cfg: SlamConfig, backend_device=None):
         self.cfg = cfg
+        self.backend_device = backend_device
         self.o_state = odometry_mod.init_state(cfg)
         self.m_state = mapping_mod.init_state(cfg)
         self.graph = pg.init_graph(cfg.pgo)
         self.sc = scm.SCManager(cfg.scancontext)
+        if backend_device is not None:
+            self.graph = jax.device_put(self.graph, backend_device)
+            self.sc.db = jax.device_put(self.sc.db, backend_device)
         self.keyframes: List[Keyframe] = []
         self.kf_times: List[float] = []
         self.frame_idx = 0
@@ -302,6 +316,13 @@ class SlamSystem:
         kf_xyz, kf_mask, kf_ext = _prepare_keyframe(
             feats.full.xyz, feats.full.mask, feats.full.rel_time, cfg
         )
+        # Stage boundary: with a second backend chip, the keyframe cloud +
+        # pose hop across the ICI here (the reference's TCPROS hop); all
+        # backend state/solves then live on that chip.
+        if self.backend_device is not None:
+            kf_xyz, kf_mask, kf_ext, mapped_pose = jax.device_put(
+                (kf_xyz, kf_mask, kf_ext, mapped_pose), self.backend_device
+            )
         # Start the D2H copies now, materialize lazily (ICP/artifacts) —
         # the keyframe path itself never blocks on the ~23 ms tunnel RTT.
         for a in (kf_xyz, kf_mask, kf_ext):
@@ -349,6 +370,14 @@ class SlamSystem:
         return Pose(self.graph.poses.quat[k], self.graph.poses.trans[k])
 
     def _icp_verify(self, curr: int, loop_idx: int, yaw: float) -> Optional[Pose]:
+        if self.backend_device is None:
+            return self._icp_verify_impl(curr, loop_idx, yaw)
+        # Pin the verification kernels (uncommitted jnp inputs) to the
+        # backend chip so the heavy ICP solves never touch the front-end's.
+        with jax.default_device(self.backend_device):
+            return self._icp_verify_impl(curr, loop_idx, yaw)
+
+    def _icp_verify_impl(self, curr: int, loop_idx: int, yaw: float) -> Optional[Pose]:
         """doICPVirtualRelative (:497-548) in the loop keyframe's local
         frame (see ops/icp.py docstring for the frame-convention fix).
         The ScanContext yaw seeds the initial rotation."""

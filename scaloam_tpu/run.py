@@ -40,6 +40,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--resume", help="resume from a saved session directory")
     p.add_argument("--async-pipeline", action="store_true",
                    help="threaded real-time pipeline instead of the sync driver")
+    p.add_argument("--backend-device", type=int, default=None,
+                   help="device index for the backend stage (pipeline "
+                        "parallelism over chips: SC/ICP/PGO run there)")
     p.add_argument("--sc-dist-thres", type=float, default=None)
     p.add_argument("--keyframe-gap", type=float, default=None)
     return p
@@ -100,12 +103,21 @@ def main(argv=None) -> int:
         return 2
 
     # -- run -----------------------------------------------------------------
+    backend_dev = None
+    if args.backend_device is not None:
+        devs = jax.devices()
+        if args.backend_device >= len(devs):
+            print(f"--backend-device {args.backend_device} out of range "
+                  f"({len(devs)} devices)", file=sys.stderr)
+            return 2
+        backend_dev = devs[args.backend_device]
+
     if args.resume:
         sys_ = SlamSystem.resume(args.resume, cfg)
         print(f"resumed {len(sys_.keyframes)} keyframes from {args.resume}",
               file=sys.stderr)
     else:
-        sys_ = SlamSystem(cfg)
+        sys_ = SlamSystem(cfg, backend_device=backend_dev)
 
     if args.use_gps and args.mulran_dir:
         for t, alt in seq.gps_events():

@@ -40,12 +40,13 @@ class AsyncSlamPipeline:
     the odometry rate is preserved and mapping processes the freshest frame,
     exactly like the reference's real-time policy."""
 
-    def __init__(self, cfg: SlamConfig, drop_backlog: Optional[bool] = None):
+    def __init__(self, cfg: SlamConfig, drop_backlog: Optional[bool] = None,
+                 backend_device=None):
         self.cfg = cfg
         self.drop_backlog = (
             cfg.runtime.drop_backlog if drop_backlog is None else drop_backlog
         )
-        self.sys = SlamSystem(cfg)
+        self.sys = SlamSystem(cfg, backend_device=backend_device)
         qd = cfg.runtime.queue_depth
         self.scan_q = BoundedQueue(qd, "scans")
         self.feat_q = BoundedQueue(qd, "features")

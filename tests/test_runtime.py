@@ -127,3 +127,53 @@ def test_async_pipeline_drains_backlog_on_finish(no_persistent_compile_cache):
     assert len(pipe.odom_results) == len(scans)
     assert len(pipe.mapped_results) == len(scans)
     assert pipe.dropped_frames == 0
+
+
+def test_backend_device_placement_equivalence():
+    """Pipeline parallelism over chips: with `backend_device` set, the
+    backend state (pose graph, SC DB) and its solves live on a SECOND
+    device — the reference's process-per-stage topology mapped to devices
+    (launch/aloam_mulran.launch:30-33) — and the trajectory matches the
+    single-device system exactly. Validated on the virtual CPU mesh; on
+    real hardware the keyframe hop rides the ICI."""
+    import jax
+
+    from scaloam_tpu.models.pipeline import SlamSystem
+    from scaloam_tpu.utils import synthetic
+
+    assert len(jax.devices()) >= 2
+    cfg = config.kitti_hdl64()
+    cfg = cfg.replace(
+        sensor=dataclasses.replace(cfg.sensor, minimum_range=1.0),
+        mapping=dataclasses.replace(
+            cfg.mapping, cell_size=4.0, grid_xy=32, grid_z=8,
+            corner_cell_cap=32, surf_cell_cap=64,
+            max_corner_input=2048, max_surf_input=8192,
+        ),
+        pgo=dataclasses.replace(cfg.pgo, keyframe_meter_gap=1.0,
+                                max_keyframes=64, max_loops=8),
+        scancontext=dataclasses.replace(
+            cfg.scancontext, max_keyframes=64, max_input_points=32768
+        ),
+    )
+    world = synthetic.make_world(seed=4, n_boxes=30, extent=40.0)
+    scans, _ = synthetic.simulate_trajectory(
+        world, n_frames=4, speed=1.0, radius=20.0, n_azimuth=720, seed=21
+    )
+
+    s0 = SlamSystem(cfg)
+    s1 = SlamSystem(cfg, backend_device=jax.devices()[1])
+    for i, s in enumerate(scans):
+        s0.process_scan(s, time=0.1 * i)
+        s1.process_scan(s, time=0.1 * i)
+
+    assert len(s1.keyframes) == len(s0.keyframes) >= 2
+    # backend state genuinely lives on device 1
+    assert jax.devices()[1] in s1.graph.poses.trans.devices()
+    assert jax.devices()[1] in s1.sc.db.descriptors.devices()
+    # front-end state stays on device 0
+    assert jax.devices()[0] in s1.m_state.corner_grid.pts.devices()
+    np.testing.assert_allclose(
+        s1.optimized_poses()[:, :3, 3], s0.optimized_poses()[:, :3, 3],
+        atol=1e-5,
+    )
