@@ -83,8 +83,9 @@ class MappingConfig:
 
     line_resolution: float = 0.4  # corner map voxel size (mapping_line_resolution)
     plane_resolution: float = 0.8  # surf map voxel size (mapping_plane_resolution)
-    window_radius_xy: float = 125.0  # half-extent of 5x5 cubes of 50 m
-    window_radius_z: float = 75.0  # half-extent of 3 cubes of 50 m
+    # (The reference's 5x5x3-cube 250x150 m matching window is expressed
+    # here by grid_xy/grid_z x cell_size below — the torus extent IS the
+    # window.)
     outer_iterations: int = 2  # (:563)
     gn_iterations: int = 4  # (:713-721)
     huber_delta: float = 0.1

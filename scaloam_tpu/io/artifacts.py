@@ -127,14 +127,36 @@ class SessionWriter:
     reference (which `rm -r`s and hardcodes the directory, :854-871), the
     directory is explicit and appended safely."""
 
-    def __init__(self, directory: str):
+    def __init__(self, directory: str, append: bool = False):
+        """`append=True` re-attaches to an existing session (an explicit
+        resume-and-continue): already-written timestamps are kept so
+        times.txt stays complete and written keyframes are not re-dumped.
+        `append=False` (fresh run) CLEARS any pre-existing session files in
+        the directory first, like the reference's startup rm -r
+        (src/laserPosegraphOptimization.cpp:866-871) — reusing a dirty
+        directory for a fresh run would silently mix the old run's
+        Scans/SCDs with the new run's poses into a corrupt session
+        (ADVICE r3 medium)."""
         self.dir = directory
-        os.makedirs(os.path.join(directory, "Scans"), exist_ok=True)
-        os.makedirs(os.path.join(directory, "SCDs"), exist_ok=True)
-        # Re-attach to an existing session (resume-and-continue): keep the
-        # already-written timestamps so times.txt stays complete.
+        scans_dir = os.path.join(directory, "Scans")
+        scds_dir = os.path.join(directory, "SCDs")
         tpath = os.path.join(directory, "times.txt")
-        if os.path.exists(tpath):
+        if not append and os.path.isdir(directory):
+            import shutil
+
+            for d in (scans_dir, scds_dir):
+                if os.path.isdir(d):
+                    shutil.rmtree(d)
+            for f in (
+                "times.txt", "optimized_poses.txt", "odom_poses.txt",
+                "singlesession_posegraph.g2o",
+            ):
+                p = os.path.join(directory, f)
+                if os.path.exists(p):
+                    os.remove(p)
+        os.makedirs(scans_dir, exist_ok=True)
+        os.makedirs(scds_dir, exist_ok=True)
+        if append and os.path.exists(tpath):
             self._times = [float(t) for t in np.loadtxt(tpath).reshape(-1)]
         else:
             self._times: List[float] = []

@@ -172,13 +172,15 @@ def mapping_step(
         n_s = jnp.sum(sv.astype(jnp.int32))
 
         # SoA ([3, n]) factor data: transposed once per pass, reused by all
-        # GN iterations (lane-efficient — see residuals.py FactorSetT).
+        # GN iterations (lane-efficient — see residuals.py FactorSetT); the
+        # pose-independent edge half is prepared once per pass.
         aT, bT, unT = a.T, b.T, un.T
+        prep_e = residuals.edge_prep_T(cin_T, aT, bT, cv)
 
-        def build(p, aT=aT, bT=bT, cv=cv, unT=unT, nd=nd, sv=sv):
+        def build(p, prep_e=prep_e, unT=unT, nd=nd, sv=sv):
             # Relinearize at p with frozen correspondences (Ceres inner loop).
             return [
-                residuals.edge_factors_T(p, cin_T, aT, bT, cv),
+                residuals.edge_factors_from_prep(p, prep_e),
                 residuals.plane_norm_factors_T(p, sin_T, unT, nd, sv),
             ]
 

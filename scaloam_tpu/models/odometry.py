@@ -38,6 +38,7 @@ class OdometryState(NamedTuple):
     initialized: jax.Array  # bool
     frame_idx: jax.Array  # int32
     feat_overflow: jax.Array  # int32 running max of ScanFeatures.overflow
+    degenerate_count: jax.Array  # int32 frames below min_correspondences
 
 
 class OdometryOutput(NamedTuple):
@@ -45,6 +46,9 @@ class OdometryOutput(NamedTuple):
     rel: Pose
     n_corner_corr: jax.Array
     n_surf_corr: jax.Array
+    degenerate: jax.Array  # bool: fewer than min_correspondences total
+    # (the reference's "less correspondence!" warning,
+    # src/laserOdometry.cpp:488-491)
 
 
 def init_state(cfg: SlamConfig) -> OdometryState:
@@ -57,6 +61,7 @@ def init_state(cfg: SlamConfig) -> OdometryState:
         initialized=jnp.array(False),
         frame_idx=jnp.array(0, jnp.int32),
         feat_overflow=jnp.array(0, jnp.int32),
+        degenerate_count=jnp.array(0, jnp.int32),
     )
 
 
@@ -145,19 +150,31 @@ def _associate(rel: Pose, feats: ScanFeatures, corner_cand, surf_cand,
 
 def _solve(rel: Pose, corner_data, surf_data, cfg: SlamConfig) -> Pose:
     # SoA ([3, n]) factor data: transposed once, reused by all GN iterations
-    # (lane-efficient — see residuals.py FactorSetT).
+    # (lane-efficient — see residuals.py FactorSetT). The pose-independent
+    # factor halves (edge line geometry + translation Jacobian block, plane
+    # normals) are PREPARED once here; the GN loop only relinearizes
+    # (tools/profile_odometry2.py: the solves were 2.2 ms of the 4.1 ms
+    # step, half of it re-deriving frozen quantities).
     p_c, a, b, v_c, s_c = corner_data
     p_s, j, l, m, v_s, s_s = surf_data
     pcT, aT, bT = p_c.T, a.T, b.T
     psT, jT, lT, mT = p_s.T, j.T, l.T, m.T
     if not cfg.odometry.distortion:
-        s_c = s_s = None  # s=1 fast path (shared-R one-matmul factors)
+        prep_e = residuals.edge_prep_T(pcT, aT, bT, v_c)
+        nrmT, neg_d = residuals.plane3_prep_T(jT, lT, mT)
 
-    def build(pose):
-        return [
-            residuals.edge_factors_T(pose, pcT, aT, bT, v_c, s=s_c),
-            residuals.plane3_factors_T(pose, psT, jT, lT, mT, v_s, s=s_s),
-        ]
+        def build(pose):
+            return [
+                residuals.edge_factors_from_prep(pose, prep_e),
+                residuals.plane_norm_factors_T(pose, psT, nrmT, neg_d, v_s),
+            ]
+    else:
+
+        def build(pose):
+            return [
+                residuals.edge_factors_T(pose, pcT, aT, bT, v_c, s=s_c),
+                residuals.plane3_factors_T(pose, psT, jT, lT, mT, v_s, s=s_s),
+            ]
 
     return gn.gauss_newton(
         rel, build, cfg.odometry.gn_iterations, cfg.odometry.huber_delta
@@ -190,6 +207,14 @@ def odometry_step(
         state.initialized, solve_branch, skip_branch, state.rel
     )
 
+    # Degenerate-frame guard (the reference warns when the solve had fewer
+    # than 10 total correspondences, src/laserOdometry.cpp:488-491). The
+    # solve still proceeds (as in the reference); the flag + running count
+    # surface the condition without a per-frame D2H fetch.
+    degenerate = state.initialized & (
+        (n_c + n_s) < cfg.odometry.min_correspondences
+    )
+
     world = se3.compose(state.world, rel)  # :504-505
 
     # With DISTORTION on, the republished "last" clouds are de-skewed to the
@@ -214,7 +239,9 @@ def odometry_step(
         initialized=jnp.array(True),
         frame_idx=state.frame_idx + 1,
         feat_overflow=jnp.maximum(state.feat_overflow, feats.overflow),
+        degenerate_count=state.degenerate_count + degenerate.astype(jnp.int32),
     )
     return new_state, OdometryOutput(
-        world=world, rel=rel, n_corner_corr=n_c, n_surf_corr=n_s
+        world=world, rel=rel, n_corner_corr=n_c, n_surf_corr=n_s,
+        degenerate=degenerate,
     )

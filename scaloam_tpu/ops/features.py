@@ -76,8 +76,12 @@ def _ring_id(xyz: jax.Array, lidar_type: str, n_scans: int):
 # ---------------------------------------------------------------------------
 
 
-def _relative_time(xyz: jax.Array, valid: jax.Array, flip_valid: jax.Array):
-    """Vectorized equivalent of the sequential halfPassed unwrap.
+def _azimuth_scalars(xyz: jax.Array, valid: jax.Array, flip_valid: jax.Array):
+    """Scalar side of the sequential halfPassed unwrap: sweep start/end
+    azimuths and the index of the first flip (all SCALARS, so the per-point
+    part can be re-evaluated after the range-image sort and rel_time need
+    not ride the sort as a payload operand — the sort is the feature
+    stage's HBM cost center, tools/roofline.py).
 
     `valid` (range-filtered) picks start/end azimuths; `flip_valid`
     (also ring-filtered) gates the halfPassed flip, matching the
@@ -93,7 +97,6 @@ def _relative_time(xyz: jax.Array, valid: jax.Array, flip_valid: jax.Array):
     d = end_ori - start_ori
     end_ori = jnp.where(d > 3 * pi, end_ori - 2 * pi, jnp.where(d < pi, end_ori + 2 * pi, end_ori))
 
-    # First-half adjustment.
     o1 = ori_raw
     o1 = jnp.where(o1 < start_ori - pi / 2, o1 + 2 * pi, o1)
     o1 = jnp.where(o1 > start_ori + 3 * pi / 2, o1 - 2 * pi, o1)
@@ -101,16 +104,23 @@ def _relative_time(xyz: jax.Array, valid: jax.Array, flip_valid: jax.Array):
     # Sticky flip, exclusive (the flipping point itself still uses
     # first-half): i is past the flip iff i > first flipped index.
     first_flip = jnp.argmax(flip)
-    half_passed = (jnp.arange(n) > first_flip) & jnp.any(flip)
+    return start_ori, end_ori, first_flip, jnp.any(flip)
 
-    # Second-half adjustment.
+
+def _relative_time_at(x, y, idx, start_ori, end_ori, first_flip, any_flip):
+    """Per-point half of the unwrap, evaluable in ANY order (idx is the
+    original stream position, deciding halfPassed)."""
+    pi = jnp.pi
+    ori_raw = -jnp.arctan2(y, x)
+    o1 = ori_raw
+    o1 = jnp.where(o1 < start_ori - pi / 2, o1 + 2 * pi, o1)
+    o1 = jnp.where(o1 > start_ori + 3 * pi / 2, o1 - 2 * pi, o1)
     o2 = ori_raw + 2 * pi
     o2 = jnp.where(o2 < end_ori - 3 * pi / 2, o2 + 2 * pi, o2)
     o2 = jnp.where(o2 > end_ori + pi / 2, o2 - 2 * pi, o2)
-
+    half_passed = (idx > first_flip) & any_flip
     ori = jnp.where(half_passed, o2, o1)
-    rel = (ori - start_ori) / (end_ori - start_ori)
-    return rel
+    return (ori - start_ori) / (end_ori - start_ori)
 
 
 # ---------------------------------------------------------------------------
@@ -119,30 +129,38 @@ def _relative_time(xyz: jax.Array, valid: jax.Array, flip_valid: jax.Array):
 
 
 def build_range_image(
-    xyz: jax.Array, ring: jax.Array, rel_time: jax.Array, valid: jax.Array,
-    n_scans: int, width: int,
+    xyz: jax.Array, ring: jax.Array, valid: jax.Array,
+    n_scans: int, width: int, rel_scalars,
 ) -> RangeImage:
     """Bucket stream-ordered points into [n_scans, width], preserving order
     (the reference's per-ring push_back, src/scanRegistration.cpp:253).
 
-    TPU shape: ONE stable multi-operand sort carries all payloads (argsort +
-    permutation gathers each re-lower to another sort on TPU). The sorted
-    stream is ring-grouped and azimuth-ordered, so each image row is a
-    CONTIGUOUS slice of it: placement is 65 dynamic row-slices (contiguous
-    gathers run ~40x faster than irregular ones here) — no scatter at all.
-    Ring boundaries come from a 65-query binary search on the sorted keys."""
+    TPU shape: ONE multi-operand sort on a UNIQUE packed key
+    (ring << 17 | stream index) carrying only xyz (argsort + permutation
+    gathers each re-lower to another sort on TPU). Unique keys make the
+    sort order-preserving without is_stable, and rel_time is re-derived
+    POST-sort from (x, y, stream index) + the azimuth scalars instead of
+    riding the sort as a fifth operand — the sort's payload traffic is the
+    feature stage's HBM cost center (tools/roofline.py). The sorted stream
+    is ring-grouped and azimuth-ordered, so each image row is a CONTIGUOUS
+    slice of it: placement is 65 dynamic row-slices (contiguous gathers run
+    ~40x faster than irregular ones here) — no scatter at all. Ring
+    boundaries come from a 65-query binary search on the sorted keys."""
     n = xyz.shape[0]
-    key = jnp.where(valid, ring, n_scans)
+    assert n <= (1 << 17), "packed sort key holds 17 index bits"
+    iota = jnp.arange(n, dtype=jnp.int32)
+    key = (jnp.where(valid, ring, n_scans) << 17) | iota
     ops = jax.lax.sort(
-        [key, xyz[:, 0], xyz[:, 1], xyz[:, 2], rel_time],
-        num_keys=1, is_stable=True,
+        [key, xyz[:, 0], xyz[:, 1], xyz[:, 2]], num_keys=1
     )
-    ring_s = ops[0]
+    ring_s = (ops[0] >> 17).astype(jnp.int32)
+    idx_s = ops[0] & jnp.int32((1 << 17) - 1)
+    rel_s = _relative_time_at(ops[1], ops[2], idx_s, *rel_scalars)
 
     bounds = jnp.searchsorted(ring_s, jnp.arange(n_scans + 1, dtype=jnp.int32))
     counts = jnp.minimum((bounds[1:] - bounds[:-1]).astype(jnp.int32), width)
 
-    packed = jnp.stack([ops[1], ops[2], ops[3], ops[4]], axis=-1)  # [n, 4]
+    packed = jnp.stack([ops[1], ops[2], ops[3], rel_s], axis=-1)  # [n, 4]
     padded = jnp.concatenate(
         [packed, jnp.zeros((width, 4), jnp.float32)], axis=0
     )  # slice past n lands in zeros
@@ -164,16 +182,18 @@ def build_range_image(
 # ---------------------------------------------------------------------------
 
 
-def _curvature(img: jax.Array) -> jax.Array:
-    """curv[r,j] = | sum_{|l|<=5} x[r,j+l] - 11*x[r,j] |^2 (11-point stencil,
-    src/scanRegistration.cpp:269-279). Edges are masked by the caller."""
+def _curvature(img: jax.Array, radius: int = 5) -> jax.Array:
+    """curv[r,j] = | sum_{|l|<=R} x[r,j+l] - (2R+1)*x[r,j] |^2 (the
+    reference's 11-point stencil is R=5, src/scanRegistration.cpp:269-279;
+    R = FeatureConfig.curvature_window). Edges are masked by the caller."""
     w = img.shape[1]
+    wl = 2 * radius + 1
     csum = jnp.cumsum(jnp.pad(img, ((0, 0), (1, 0), (0, 0))), axis=1)
-    # window sum over [j-5, j+5]: pad by 5 on both sides of csum index space
-    padded = jnp.pad(csum, ((0, 0), (5, 5), (0, 0)), mode="edge")
-    win = padded[:, 11:] - padded[:, :-11]  # [r, w+? ] -> [r, w]
+    # window sum over [j-R, j+R]: pad by R on both sides of csum index space
+    padded = jnp.pad(csum, ((0, 0), (radius, radius), (0, 0)), mode="edge")
+    win = padded[:, wl:] - padded[:, :-wl]  # [r, w+?] -> [r, w]
     win = win[:, :w]
-    diff = win - 11.0 * img
+    diff = win - float(wl) * img
     return jnp.sum(diff * diff, axis=-1)
 
 
@@ -216,18 +236,18 @@ def extract_features(scan: LidarScan, cfg: SlamConfig) -> ScanFeatures:
     rng_sq = jnp.sum(xyz * xyz, axis=-1)
     valid = mask & finite & (rng_sq >= sensor.minimum_range**2)
 
-    # 2-3. Ring id + relative time on the stream.
+    # 2-3. Ring id + azimuth-unwrap scalars on the stream.
     ring, ring_ok = _ring_id(xyz, sensor.lidar_type, S)
-    rel = _relative_time(xyz, valid, valid & ring_ok)
+    rel_scalars = _azimuth_scalars(xyz, valid, valid & ring_ok)
     valid = valid & ring_ok
 
-    # 4. Range image.
-    ri = build_range_image(xyz, ring, rel, valid, S, W)
+    # 4. Range image (rel_time re-derived post-sort from rel_scalars).
+    ri = build_range_image(xyz, ring, valid, S, W, rel_scalars)
     img, count = ri.xyz, ri.count
 
-    curv = _curvature(img)
+    R = feat.curvature_window  # stencil radius (reference hardcodes 5)
+    curv = _curvature(img, R)
     jj = np.arange(W)[None, :]
-    feat_range = (jj >= 5) & (jj <= count[:, None] - 6)
 
     left_ext, right_ext = _suppression_reach(
         img, count, feat.neighbor_suppress_radius, feat.neighbor_suppress_gap_sq
@@ -235,10 +255,10 @@ def extract_features(scan: LidarScan, cfg: SlamConfig) -> ScanFeatures:
 
     # Subregion boundaries (ring-local; :290-296).
     NSUB = feat.n_subregions
-    L = count - 11  # selectable span length
+    L = count - (2 * R + 1)  # selectable span length
     j_sub = jnp.arange(NSUB)
-    sp = 5 + (L[:, None] * j_sub[None, :]) // NSUB  # [S, NSUB]
-    ep = 5 + (L[:, None] * (j_sub[None, :] + 1)) // NSUB - 1
+    sp = R + (L[:, None] * j_sub[None, :]) // NSUB  # [S, NSUB]
+    ep = R + (L[:, None] * (j_sub[None, :] + 1)) // NSUB - 1
     ring_sel_ok = L >= NSUB  # `if scanEnd - scanStart < 6 continue` (:292)
 
     n_sharp = feat.sharp_per_subregion
@@ -251,7 +271,7 @@ def extract_features(scan: LidarScan, cfg: SlamConfig) -> ScanFeatures:
     # pick in PARALLEL (the reference iterates them sequentially; the only
     # semantic difference is that a pick's +-5 suppression band reaches an
     # adjacent subregion one pick-step later — a boundary-only effect).
-    eligible = (jj >= 5) & (jj <= (4 + L)[:, None]) & ring_sel_ok[:, None]
+    eligible = (jj >= R) & (jj <= (R - 1 + L)[:, None]) & ring_sel_ok[:, None]
 
     use_pallas = feat.use_pallas_selection == "on" or (
         feat.use_pallas_selection == "auto" and jax.default_backend() == "tpu"
@@ -378,7 +398,10 @@ def _assemble_outputs(cfg, ri, img, count, corner_idx, corner_ok,
     # voxel-filtered per ring at 0.2 m (:414-419). Grid-native run filter:
     # azimuth ordering makes same-voxel points consecutive along a row, so
     # no sort is needed at all (voxel_downsample_rows).
-    sub_range = (jj >= 5) & (jj <= (count[:, None] - 7)) & ring_sel_ok[:, None]
+    R = feat.curvature_window
+    sub_range = (
+        (jj >= R) & (jj <= (count[:, None] - (R + 2))) & ring_sel_ok[:, None]
+    )
     lf_mask = sub_range & ~labels & ri.mask
     dx, dm, dring, de, lf_dropped = voxel.voxel_downsample_rows(
         img, lf_mask, feat.less_flat_voxel_size, feat.max_less_flat,

@@ -93,6 +93,28 @@ def insert(
     near = jnp.any(occ & (d2 < dedup_radius * dedup_radius), axis=-1) & fresh
     want = mask & ~near
 
+    # Batch-internal torus-aliasing guard: one batch may carry points of
+    # DIFFERENT absolute cells that alias to the same torus slot (absolute
+    # z beyond the grid period, e.g. transient bad poses). Without a
+    # winner, the mixed runs write a count that includes skipped slots
+    # (caught by test_insert_count_matches_occupancy_under_aliasing). The
+    # cell with the LOWEST packed coord among the slot's batch points wins;
+    # others are dropped. One segment_min + two tiny gathers — measured
+    # cheaper than restructuring the whole insert around run logic
+    # (tools/ab_r4.py: the full run-logic rewrite was 11% slower than the
+    # segment-op form).
+    C = grid.pts.shape[0]
+    pack = (
+        (cc[:, 0] & 0x3FF) << 20 | (cc[:, 1] & 0x3FF) << 10 | (cc[:, 2] & 0x3FF)
+    )
+    win_pack = jax.ops.segment_min(
+        jnp.where(mask, pack, jnp.int32(2**30)),
+        jnp.where(mask, idx, C),
+        num_segments=C + 1,
+    )[:-1]
+    win = mask & (pack == win_pack[jnp.minimum(idx, C - 1)])
+    want = want & win
+
     # Rank of each inserted point within its cell (batch-local).
     order = jnp.argsort(jnp.where(want, idx, 2**30))
     idx_s = idx[order]
@@ -104,15 +126,15 @@ def insert(
 
     pos = base + rank
     ok = want & (pos < K)
-    write_idx = jnp.where(ok, idx, grid.pts.shape[0])
+    write_idx = jnp.where(ok, idx, C)
 
     # Update counts + stored coords for touched cells.
     touched_add = jax.ops.segment_sum(
-        ok.astype(jnp.int32), write_idx, num_segments=grid.pts.shape[0] + 1
+        ok.astype(jnp.int32), write_idx, num_segments=C + 1
     )[:-1]
     reset = jax.ops.segment_max(
-        (mask & ~fresh).astype(jnp.int32), jnp.where(mask, idx, grid.pts.shape[0]),
-        num_segments=grid.pts.shape[0] + 1,
+        (win & ~fresh).astype(jnp.int32), jnp.where(win, idx, C),
+        num_segments=C + 1,
     )[:-1]
 
     # Reset cells are cleared to the far sentinel BEFORE the new points land:
@@ -129,7 +151,7 @@ def insert(
     new_count = jnp.minimum(
         jnp.where(reset > 0, touched_add, grid.count + touched_add), K
     )
-    # store the (arbitrary winner) absolute coord for reset/touched cells
+    # store the (winner) absolute coord for reset/touched cells
     coord_new = grid.cell_coord.at[write_idx].set(cc, mode="drop")
     cell_coord = jnp.where((reset > 0)[:, None] | (touched_add > 0)[:, None],
                            coord_new, grid.cell_coord)

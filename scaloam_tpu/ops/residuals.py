@@ -162,6 +162,57 @@ def _slerp_cols(pose: Pose, pT: jax.Array, s: jax.Array):
     return q_s, w, R_cols
 
 
+class EdgePrepT(NamedTuple):
+    """Pose-INDEPENDENT half of the SoA edge factor build, computed once
+    per outer association pass and reused by every GN relinearization
+    (the translation Jacobian block (e_k x d)/dn and the line geometry
+    never change while correspondences are frozen — rebuilding them per
+    iteration was ~40% of the edge build, tools/profile_odometry2.py)."""
+
+    pT: jax.Array  # [3, n]
+    aT: jax.Array
+    bT: jax.Array
+    d: jax.Array  # aT - bT
+    dn: jax.Array  # [1, n]
+    J_t: jax.Array  # [3, 3, n] translation block
+    valid: jax.Array
+
+
+def edge_prep_T(
+    pT: jax.Array, aT: jax.Array, bT: jax.Array, valid: jax.Array
+) -> EdgePrepT:
+    d = aT - bT
+    dn = jnp.maximum(jnp.sqrt(jnp.sum(d * d, axis=0)), _EPS)[None, :]
+    e = jnp.eye(3, dtype=pT.dtype)
+    J_t = jnp.stack(
+        [
+            _cross_rows(jnp.broadcast_to(e[:, k : k + 1], d.shape), d) / dn
+            for k in range(3)
+        ],
+        axis=1,
+    )
+    return EdgePrepT(pT=pT, aT=aT, bT=bT, d=d, dn=dn, J_t=J_t, valid=valid)
+
+
+def edge_factors_from_prep(pose: Pose, prep: EdgePrepT) -> FactorSetT:
+    """Relinearize the s=1 edge factors at `pose` (the per-iteration half)."""
+    R = se3.quat_to_mat(pose.quat)
+    w = jnp.matmul(R, prep.pT, precision=jax.lax.Precision.HIGHEST)  # R p
+    pw = w + pose.trans[:, None]
+    R_cols = [jnp.broadcast_to(R[:, k : k + 1], w.shape) for k in range(3)]
+    r = _cross_rows(pw - prep.aT, pw - prep.bT) / prep.dn
+    # J_theta columns: col_k = R[:,k] x w ; then dr_dpw col = (col_k x d)/dn.
+    J_rot = jnp.stack(
+        [
+            _cross_rows(_cross_rows(R_cols[k], w), prep.d) / prep.dn
+            for k in range(3)
+        ],
+        axis=1,
+    )
+    J = jnp.concatenate([J_rot, prep.J_t], axis=1)  # [3, 6, n]
+    return FactorSetT(r=r, J=J, valid=prep.valid)
+
+
 def edge_factors_T(
     pose: Pose, pT: jax.Array, aT: jax.Array, bT: jax.Array, valid: jax.Array,
     s: Optional[jax.Array] = None,
@@ -174,23 +225,16 @@ def edge_factors_T(
     and O(|log q| |delta|) otherwise (|log q| ~ 1e-2 rad scan-to-scan, so
     the GN fixed-point shift is negligible; the reference differentiates
     the slerp exactly via ceres Jets, src/lidarFactor.hpp:26-55)."""
+    if s is None:
+        return edge_factors_from_prep(pose, edge_prep_T(pT, aT, bT, valid))
     d = aT - bT
     dn = jnp.maximum(jnp.sqrt(jnp.sum(d * d, axis=0)), _EPS)[None, :]
     e = jnp.eye(3, dtype=pT.dtype)
-    if s is None:
-        R = se3.quat_to_mat(pose.quat)
-        w = jnp.matmul(R, pT, precision=jax.lax.Precision.HIGHEST)  # R p
-        pw = w + pose.trans[:, None]
-        R_cols = [jnp.broadcast_to(R[:, k : k + 1], w.shape) for k in range(3)]
-        sc = 1.0
-    else:
-        _, w, R_cols = _slerp_cols(pose, pT, s)
-        pw = w + s[None, :] * pose.trans[:, None]
-        sc = s[None, :]
+    _, w, R_cols = _slerp_cols(pose, pT, s)
+    pw = w + s[None, :] * pose.trans[:, None]
+    sc = s[None, :]
     r = _cross_rows(pw - aT, pw - bT) / dn
-    # J_theta columns: col_k = R_s[:,k] x w ; then dr_dpw col = (col_k x d)/dn.
     J_rot = [sc * _cross_rows(_cross_rows(R_cols[k], w), d) / dn for k in range(3)]
-    # dr_dpw = -[d]x/dn applied to identity columns: (e_k x d)/dn.
     J_t = [
         sc * _cross_rows(jnp.broadcast_to(e[:, k : k + 1], d.shape), d) / dn
         for k in range(3)
@@ -199,15 +243,23 @@ def edge_factors_T(
     return FactorSetT(r=r, J=J, valid=valid)
 
 
+def plane3_prep_T(jT: jax.Array, lT: jax.Array, mT: jax.Array):
+    """Pose-independent half of the 3-point plane factor: the unit normal
+    and offset of the correspondence plane (frozen with the association;
+    hoist out of the GN iteration like edge_prep_T)."""
+    nrm = _cross_rows(jT - lT, jT - mT)
+    nrm = nrm / jnp.maximum(jnp.sqrt(jnp.sum(nrm * nrm, axis=0)), _EPS)[None, :]
+    return nrm, -jnp.sum(jT * nrm, axis=0)
+
+
 def plane3_factors_T(
     pose: Pose, pT: jax.Array, jT: jax.Array, lT: jax.Array, mT: jax.Array,
     valid: jax.Array, s: Optional[jax.Array] = None,
 ) -> FactorSetT:
     """SoA LidarPlaneFactor: r = (p' - j) . normalize((j-l)x(j-m)).
     s: optional de-skew fractions (see edge_factors_T)."""
-    nrm = _cross_rows(jT - lT, jT - mT)
-    nrm = nrm / jnp.maximum(jnp.sqrt(jnp.sum(nrm * nrm, axis=0)), _EPS)[None, :]
-    return _plane_T(pose, pT, nrm, -jnp.sum(jT * nrm, axis=0), valid, s=s)
+    nrm, neg_d = plane3_prep_T(jT, lT, mT)
+    return _plane_T(pose, pT, nrm, neg_d, valid, s=s)
 
 
 def plane_norm_factors_T(

@@ -439,6 +439,10 @@ def argmin_topk(
     dd = d
     # The payload is split ONCE outside the k-iteration (the split is the
     # VPU part; the per-iteration work is the three small matmuls).
+    # NOTE (r4): batching the k selects into one [Q,k,M]x[Q,M,C] einsum to
+    # cut payload re-reads measured 20% SLOWER on the real chip
+    # (tools/ab_r4.py topk_old 1.59 vs topk_new 1.90 ms) — the per-k
+    # skinny matmuls fuse with the argmin rounds; keep the per-k form.
     if payload is not None:
         p123 = split3_f32(payload)
     for _ in range(k):
@@ -612,14 +616,27 @@ def _tile_top2_payload(d: jax.Array, tgt_payload: jax.Array, cols: jax.Array):
     to 2^24) that must round-trip bit-exactly through the one-hot select —
     exact_onehot_select (3-way bf16 split, 3 single-pass matmuls) gives
     that at half the MXU passes of Precision.HIGHEST. The distance
-    cross-terms elsewhere stay DEFAULT (they only rank)."""
+    cross-terms elsewhere stay DEFAULT (they only rank).
+
+    The bit-mask split runs ONCE per tile, shared by the j1 and j2 selects
+    (mirroring the argmin_topk hoist — the split is the VPU part)."""
+    p123 = split3_f32(tgt_payload)
+
+    def sel(hot):
+        h = hot.astype(jnp.float32)
+        terms = [
+            jnp.einsum("qm,mc->qc", h, p, preferred_element_type=jnp.float32)
+            for p in p123
+        ]
+        return (terms[0] + terms[1]) + terms[2]
+
     j1 = jnp.argmin(d, axis=1)
     v1 = jnp.min(d, axis=1)
-    p1 = exact_onehot_select("qm,mc->qc", cols == j1[:, None], tgt_payload)
+    p1 = sel(cols == j1[:, None])
     dd = jnp.where(cols == j1[:, None], _BIG, d)
     j2 = jnp.argmin(dd, axis=1)
     v2 = jnp.min(dd, axis=1)
-    p2 = exact_onehot_select("qm,mc->qc", cols == j2[:, None], tgt_payload)
+    p2 = sel(cols == j2[:, None])
     return v1, p1, v2, p2
 
 

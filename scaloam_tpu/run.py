@@ -113,7 +113,7 @@ def main(argv=None) -> int:
         backend_dev = devs[args.backend_device]
 
     if args.resume:
-        sys_ = SlamSystem.resume(args.resume, cfg)
+        sys_ = SlamSystem.resume(args.resume, cfg, backend_device=backend_dev)
         print(f"resumed {len(sys_.keyframes)} keyframes from {args.resume}",
               file=sys.stderr)
     else:
@@ -132,24 +132,52 @@ def main(argv=None) -> int:
     timer = StageTimer(budget_ms=cfg.runtime.stage_budget_ms)
     n = 0
     t_start = time.time()
-    for t, pts in frames:
-        with timer.stage("frame"):
-            sys_.process_scan(np.asarray(pts[:, :3], np.float32), time=t)
-        n += 1
-        if n % 50 == 0:
-            print(
-                f"frame {n}: keyframes={len(sys_.keyframes)} "
-                f"loops={len(sys_.loops_found)} "
-                f"mean={timer.mean_ms('frame'):.0f} ms", file=sys.stderr,
-            )
+    if args.async_pipeline:
+        # Threaded real-time pipeline (runtime/pipeline.py): stages overlap,
+        # backlog drops under overload — the reference's live topology.
+        from scaloam_tpu.runtime.pipeline import AsyncSlamPipeline
+
+        pipe = AsyncSlamPipeline(cfg, system=sys_)
+        pipe.start()
+        for t, pts in frames:
+            pipe.feed(t, np.asarray(pts[:, :3], np.float32))
+            n += 1
+        pipe.finish()
+        dropped = pipe.dropped_frames
+    else:
+        for t, pts in frames:
+            with timer.stage("frame"):
+                sys_.process_scan(np.asarray(pts[:, :3], np.float32), time=t)
+            n += 1
+            if n % 50 == 0:
+                print(
+                    f"frame {n}: keyframes={len(sys_.keyframes)} "
+                    f"loops={len(sys_.loops_found)} "
+                    f"mean={timer.mean_ms('frame'):.0f} ms", file=sys.stderr,
+                )
+        dropped = 0
     wall = time.time() - t_start
+
+    # Degenerate-frame alarm (the reference's "less correspondence!"
+    # warning, src/laserOdometry.cpp:488-491), surfaced once per run from
+    # the device-side counter — no per-frame fetch.
+    n_degen = int(np.asarray(sys_.o_state.degenerate_count))
+    if n_degen:
+        print(
+            f"WARNING: {n_degen} frames had fewer than "
+            f"{cfg.odometry.min_correspondences} odometry correspondences",
+            file=sys.stderr,
+        )
 
     result = {
         "frames": n,
         "keyframes": len(sys_.keyframes),
         "loops": len(sys_.loops_found),
         "scans_per_sec": round(n / max(wall, 1e-9), 2),
+        "degenerate_frames": n_degen,
     }
+    if args.async_pipeline:
+        result["dropped_frames"] = dropped
 
     if args.out:
         sys_.save_session(args.out)

@@ -41,12 +41,16 @@ class AsyncSlamPipeline:
     exactly like the reference's real-time policy."""
 
     def __init__(self, cfg: SlamConfig, drop_backlog: Optional[bool] = None,
-                 backend_device=None):
+                 backend_device=None, system: Optional[SlamSystem] = None):
+        """`system` lets a pre-built SlamSystem (e.g. SlamSystem.resume)
+        run under the async runtime; by default a fresh one is created."""
         self.cfg = cfg
         self.drop_backlog = (
             cfg.runtime.drop_backlog if drop_backlog is None else drop_backlog
         )
-        self.sys = SlamSystem(cfg, backend_device=backend_device)
+        self.sys = system if system is not None else SlamSystem(
+            cfg, backend_device=backend_device
+        )
         qd = cfg.runtime.queue_depth
         self.scan_q = BoundedQueue(qd, "scans")
         self.feat_q = BoundedQueue(qd, "features")
@@ -121,6 +125,10 @@ class AsyncSlamPipeline:
             # materializes from the completed async copies.
             o_out.world.trans.copy_to_host_async()
             self.odom_results.append((t, o_out.world.trans))
+            i = len(self.odom_results) - 8
+            if i >= 0 and not isinstance(self.odom_results[i][1], np.ndarray):
+                ti, xi = self.odom_results[i]
+                self.odom_results[i] = (ti, np.asarray(xi))
             # Republished clouds for mapping: the post-step last_* (de-skewed
             # to sweep end under DISTORTION; == feats.less_* otherwise).
             # Captured here, not in the mapping worker — o_state advances.
@@ -147,53 +155,90 @@ class AsyncSlamPipeline:
                     self.sys.m_state, odom_pose, reg_corner, reg_surf,
                     self.cfg,
                 )
+            # Keyframe gate ON DEVICE (models/pipeline.py gate_step): the
+            # backend then needs only a 1-byte flag per frame, not a pose
+            # fetch. This worker owns the gate state (single writer).
+            fire = self.sys.gate_step(m_out.pose)
             # Async D2H: blocking here (jax.device_get) serialized this
             # worker at one ~23 ms tunnel RTT per frame — the dominant
             # share of the r2 93.6-front-end vs 23.3-e2e gap. The copies
-            # complete in the background; the backend's keyframe gate
-            # materializes them (served from the host cache) a queue-hop
-            # later, overlapped with the next frames' device work.
+            # complete in the background; the backend materializes the
+            # gate flag a few frames later (see _backend_worker's lag
+            # window), by which point the frame's compute AND the copy
+            # have landed, so the np.asarray is served from the host cache.
+            fire.copy_to_host_async()
             m_out.pose.quat.copy_to_host_async()
             m_out.pose.trans.copy_to_host_async()
             self.mapped_results.append((t, m_out.pose.trans))
-            self.kf_q.put((t, m_out.pose, feats))
+            # Bound the live device-buffer count on long runs (live buffers
+            # degrade dispatch on this stack, CLAUDE.md): materialize the
+            # entry 8 frames back — its async copy has landed by now.
+            i = len(self.mapped_results) - 8
+            if i >= 0 and not isinstance(self.mapped_results[i][1], np.ndarray):
+                ti, xi = self.mapped_results[i]
+                self.mapped_results[i] = (ti, np.asarray(xi))
+            self.kf_q.put((t, m_out.pose, feats, fire))
+
+    # The backend gate-checks a frame only once it is LAG frames old: by
+    # then the mapping worker's async D2H copy of the 1-byte gate flag has
+    # landed, so materializing it costs ~0 instead of a blocking ~23 ms
+    # tunnel RTT per frame (which rate-limited the whole r3 pipeline to
+    # ~29 scans/s: the fetch couldn't even start until the frame's device
+    # compute finished). Keyframe decisions lag ~LAG frame periods, which
+    # is inert: the gate is accumulated-motion-based and everything
+    # downstream (SC detect, PGO) is 1 Hz-cadenced anyway.
+    _BACKEND_LAG = 6
 
     def _backend_worker(self):
+        from collections import deque
+
         from scaloam_tpu.models import posegraph as pg
 
         first = [False]
         last_opt = time.time()
         last_lcd = 0.0
         kf_since_lcd = False
-        while True:
-            item = self.kf_q.get(timeout=0.2)
-            if item is None:
-                if self._stop.is_set() or (
-                    self.kf_q.closed and len(self.kf_q) == 0
-                ):
-                    # Drain: one final loop-detect pass on the last keyframe
-                    # so short offline runs aren't cadence-starved — and a
-                    # final optimize so a loop edge added here (or keyframes
-                    # landed after the last pgo_hz tick) actually reaches
-                    # the trajectory (ADVICE r2: detect-without-apply).
-                    if not self._stop.is_set():
-                        with self._lock:
-                            if kf_since_lcd:
-                                self.sys._detect_and_verify_loop()
-                            if len(self.sys.keyframes) > 1:
-                                self.sys.graph = pg.optimize(
-                                    self.sys.graph, self.cfg.pgo
-                                )
-                            if self.sys._writer is not None:
-                                self.sys.flush_artifacts()
-                    return
-                continue
-            t, mapped_pose, feats = item
+        pending = deque()
+
+        def process(item):
+            nonlocal kf_since_lcd
+            t, mapped_pose, feats, fire = item
             with self._lock:
-                if self.sys._keyframe_gate(mapped_pose):
+                if bool(np.asarray(fire)):
                     with self._first_frame_guard(first):
                         self.sys._add_keyframe(feats, mapped_pose, t)
                     kf_since_lcd = True
+
+        while True:
+            item = self.kf_q.get(timeout=0.2)
+            if item is not None:
+                pending.append(item)
+            drained = self._stop.is_set() or (
+                self.kf_q.closed and len(self.kf_q) == 0
+            )
+            # Process everything older than the lag window; on a stream
+            # stall (timeout) or at end-of-stream the whole backlog is old
+            # enough — its copies have long landed.
+            target = 0 if (item is None or drained) else self._BACKEND_LAG
+            while len(pending) > target:
+                process(pending.popleft())
+            if item is None and drained:
+                # Drain: one final loop-detect pass on the last keyframe
+                # so short offline runs aren't cadence-starved — and a
+                # final optimize so a loop edge added here (or keyframes
+                # landed after the last pgo_hz tick) actually reaches
+                # the trajectory (ADVICE r2: detect-without-apply).
+                if not self._stop.is_set():
+                    with self._lock:
+                        if kf_since_lcd:
+                            self.sys._detect_and_verify_loop()
+                        if len(self.sys.keyframes) > 1:
+                            self.sys.graph = pg.optimize(
+                                self.sys.graph, self.cfg.pgo
+                            )
+                        if self.sys._writer is not None:
+                            self.sys.flush_artifacts()
+                return
             # Loop detection runs on the LATEST keyframe at
             # loop_detection_hz, like the reference's process_lcd thread
             # (src/laserPosegraphOptimization.cpp:732-742): keyframes that
@@ -286,6 +331,15 @@ class AsyncSlamPipeline:
         deadline = time.time() + timeout
         for th in self._threads:
             th.join(max(0.1, deadline - time.time()))
+        # Same result contract as finish(): numpy entries, no retained
+        # device buffers (ADVICE r3). The dispatched computations complete
+        # regardless of the abort, so materializing is bounded.
+        self.odom_results = [
+            (t, np.asarray(x)) for t, x in self.odom_results
+        ]
+        self.mapped_results = [
+            (t, np.asarray(x)) for t, x in self.mapped_results
+        ]
 
     @property
     def dropped_frames(self) -> int:

@@ -77,3 +77,28 @@ def test_knn_grid_27cell_path_matches_brute_force():
     pts = rng.uniform(2.0, 12.0, size=(300, 3)).astype(np.float32)
     queries = rng.uniform(4.0, 10.0, size=(30, 3)).astype(np.float32)
     _check_vs_brute(pts, queries, reach=2.0, k=5, cell=2.0)
+
+
+def test_insert_count_matches_occupancy_under_aliasing():
+    """Count/slot consistency invariant, including the torus-aliasing case:
+    one batch carrying points of two absolute cells that alias to the same
+    torus slot (z span beyond the grid period). The run's first point's
+    cell wins the batch; count must equal the actually-written slots (the
+    pre-r4 mixed-write path counted skipped positions)."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    g = gridmap.init_grid(16 * 16 * 8, 4)
+    for it in range(8):
+        pts = rng.uniform(-14, 14, (256, 3)).astype(np.float32)
+        if it >= 4:
+            pts += np.array([40.0, 0, 0], np.float32)  # wrap the torus
+        m = rng.random(256) < 0.9
+        g = gridmap.insert(
+            g, jnp.asarray(pts), jnp.asarray(m), 16, 16, 8, 2.0, 0.4
+        )
+        cnt = np.asarray(g.count)
+        occupied = (np.abs(np.asarray(g.pts)) < 1e8).all(-1)
+        for c in range(cnt.shape[0]):
+            assert occupied[c, : cnt[c]].all(), (it, c)
+        assert int(np.asarray(g.total)) == cnt.sum()

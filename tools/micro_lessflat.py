@@ -90,7 +90,7 @@ def s1_rel(xyz, mask):
     rng_sq = jnp.sum(xyz * xyz, axis=-1)
     valid = mask & finite & (rng_sq >= sensor.minimum_range**2)
     ring, ring_ok = F._ring_id(xyz, sensor.lidar_type, S)
-    rel = F._relative_time(xyz, valid, valid & ring_ok)
+    rel = F._azimuth_scalars(xyz, valid, valid & ring_ok)  # scalars (r4 API)
     return jnp.sum(valid) + jnp.sum(ring) + jnp.sum(rel)
 
 

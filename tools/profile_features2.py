@@ -69,7 +69,7 @@ def stage1(xyz, mask):
     rng_sq = jnp.sum(xyz * xyz, axis=-1)
     valid = mask & finite & (rng_sq >= sensor.minimum_range**2)
     ring, ring_ok = F._ring_id(xyz, sensor.lidar_type, S)
-    rel = F._relative_time(xyz, valid, valid & ring_ok)
+    rel = F._azimuth_scalars(xyz, valid, valid & ring_ok)  # scalars (r4 API)
     return ring, rel, valid & ring_ok
 
 
@@ -80,7 +80,7 @@ r1 = [stage1(*a) for a in in1]
 
 @jax.jit
 def stage2(xyz, ring, rel, valid):
-    return F.build_range_image(xyz, ring, rel, valid, S, W)
+    return F.build_range_image(xyz, ring, valid, S, W, rel)
 
 
 in2 = [(s.xyz, r[0], r[1], r[2]) for s, r in zip(dscans, r1)]

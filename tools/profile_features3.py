@@ -46,7 +46,7 @@ def _stage123(xyz, mask):
     rng_sq = jnp.sum(xyz * xyz, axis=-1)
     valid = mask & finite & (rng_sq >= sensor.minimum_range**2)
     ring, ring_ok = F._ring_id(xyz, sensor.lidar_type, S)
-    rel = F._relative_time(xyz, valid, valid & ring_ok)
+    rel = F._azimuth_scalars(xyz, valid, valid & ring_ok)  # scalars (r4 API)
     return ring, rel, valid & ring_ok
 
 
@@ -81,14 +81,14 @@ def p1_ring(xyz, mask):
 @jax.jit
 def p2_image(xyz, mask):
     ring, rel, valid = _stage123(xyz, mask)
-    ri = F.build_range_image(xyz, ring, rel, valid, S, W)
+    ri = F.build_range_image(xyz, ring, valid, S, W, rel)
     return jnp.sum(ri.count) + ri.xyz[0, 0, 0] + ri.rel_time[0, 0]
 
 
 @jax.jit
 def p3_curv(xyz, mask):
     ring, rel, valid = _stage123(xyz, mask)
-    ri = F.build_range_image(xyz, ring, rel, valid, S, W)
+    ri = F.build_range_image(xyz, ring, valid, S, W, rel)
     curv = F._curvature(ri.xyz)
     le, re_ = F._suppression_reach(
         ri.xyz, ri.count, feat.neighbor_suppress_radius,
@@ -100,7 +100,7 @@ def p3_curv(xyz, mask):
 @jax.jit
 def p4_select(xyz, mask):
     ring, rel, valid = _stage123(xyz, mask)
-    ri = F.build_range_image(xyz, ring, rel, valid, S, W)
+    ri = F.build_range_image(xyz, ring, valid, S, W, rel)
     (ci, co, fi, fo, labels), *_ = _sel(ri)
     return jnp.sum(ci) + jnp.sum(co) + jnp.sum(fi) + jnp.sum(fo) + jnp.sum(labels)
 
@@ -118,7 +118,7 @@ def p5_full(xyz, mask):
 @jax.jit
 def p5a_noflat(xyz, mask):
     ring, rel, valid = _stage123(xyz, mask)
-    ri = F.build_range_image(xyz, ring, rel, valid, S, W)
+    ri = F.build_range_image(xyz, ring, valid, S, W, rel)
     (ci, co, fi, fo, labels), curv, le, re_, ring_sel_ok = _sel(ri)
     img = ri.xyz
     rows3 = jnp.arange(S)[:, None, None]
