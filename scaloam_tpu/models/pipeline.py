@@ -395,6 +395,13 @@ class SlamSystem:
         z = self._icp_verify(curr, idx, yaw)
         if z is None:
             return None
+        return self.commit_loop(curr, idx, z)
+
+    def commit_loop(self, curr: int, idx: int, z: Pose):
+        """Add an ICP-verified loop factor (the BetweenFactor append,
+        laserPosegraphOptimization.cpp:762-768). Split from detection so
+        the async runtime's loop thread can run the long ICP OUTSIDE the
+        system lock and commit under it."""
         self.graph = pg.add_loop(
             self.graph, jnp.int32(curr), jnp.int32(idx), z,
             n_loops=len(self.loops_found),
@@ -405,23 +412,29 @@ class SlamSystem:
     def _graph_pose(self, k: int) -> Pose:
         return Pose(self.graph.poses.quat[k], self.graph.poses.trans[k])
 
-    def _icp_verify(self, curr: int, loop_idx: int, yaw: float) -> Optional[Pose]:
+    def fetch_pose_tables(self):
+        """One batched D2H of the graph pose tables (each separate
+        np.asarray is a ~23 ms RTT). The async runtime fetches these under
+        its lock — self.graph rebinds with DONATED buffers on every
+        add_keyframe, so a concurrent reader must snapshot to numpy."""
+        return jax.device_get((self.graph.poses.quat, self.graph.poses.trans))
+
+    def _icp_verify(self, curr: int, loop_idx: int, yaw: float,
+                    poses=None) -> Optional[Pose]:
         if self.backend_device is None:
-            return self._icp_verify_impl(curr, loop_idx, yaw)
+            return self._icp_verify_impl(curr, loop_idx, yaw, poses=poses)
         # Pin the verification kernels (uncommitted jnp inputs) to the
         # backend chip so the heavy ICP solves never touch the front-end's.
         with jax.default_device(self.backend_device):
-            return self._icp_verify_impl(curr, loop_idx, yaw)
+            return self._icp_verify_impl(curr, loop_idx, yaw, poses=poses)
 
-    def _icp_verify_impl(self, curr: int, loop_idx: int, yaw: float) -> Optional[Pose]:
+    def _icp_verify_impl(self, curr: int, loop_idx: int, yaw: float,
+                         poses=None) -> Optional[Pose]:
         """doICPVirtualRelative (:497-548) in the loop keyframe's local
         frame (see ops/icp.py docstring for the frame-convention fix).
         The ScanContext yaw seeds the initial rotation."""
         lcfg = self.cfg.loop
-        # one batched D2H for both pose tables (each np.asarray is an RTT)
-        poses_q, poses_t = jax.device_get(
-            (self.graph.poses.quat, self.graph.poses.trans)
-        )
+        poses_q, poses_t = self.fetch_pose_tables() if poses is None else poses
         n_kf = len(self.keyframes)
 
         T_loop = _np_pose_matrix(poses_q[loop_idx], poses_t[loop_idx])

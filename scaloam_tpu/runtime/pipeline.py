@@ -32,6 +32,36 @@ from scaloam_tpu.ops import features
 from scaloam_tpu.runtime.queues import BoundedQueue
 from scaloam_tpu.types import LidarScan, Pose
 
+import os as _os
+
+_ABLATE = _os.environ.get("SCALOAM_E2E_ABLATE", "")  # temp bisect hook
+
+
+def _materialize_ready(results, ptr, keep=128):
+    """Advance `ptr` over `results`, converting long-COMPLETED async-copied
+    device scalars to numpy — bounds the live device-buffer count on long
+    runs (live buffers degrade dispatch on this stack, CLAUDE.md) without
+    blocking: entries must be BOTH `keep` frames old AND is_ready().
+
+    keep is deliberately large: is_ready() means computed, NOT host-copied
+    — an np.asarray issued right at compute completion still pays the
+    ~23 ms tunnel RTT for the in-flight copy, which serialized the whole
+    pipeline to ~10 scans/s at keep=8 (e2e ablation bs_abl_*: mat_off 21.6
+    vs 10.4 with). At 128 frames (~1.5 s) the async copy has long landed
+    and the conversion is a host-cache read."""
+    if "mat_off" in _ABLATE:
+        return ptr
+    while ptr < len(results) - keep:
+        t, x = results[ptr]
+        if isinstance(x, np.ndarray):
+            ptr += 1
+            continue
+        if not x.is_ready():
+            break
+        results[ptr] = (t, np.asarray(x))
+        ptr += 1
+    return ptr
+
 
 class AsyncSlamPipeline:
     """Threaded wrapper over SlamSystem's stages with real-time semantics.
@@ -58,9 +88,13 @@ class AsyncSlamPipeline:
         self.kf_q = BoundedQueue(qd, "keyframes")
         self.odom_results: List = []
         self.mapped_results: List = []
+        self._o_mat = 0  # materialization pointers (_materialize_ready)
+        self._m_mat = 0
         self._threads: List[threading.Thread] = []
         self._stop = threading.Event()
         self._lock = threading.Lock()
+        self._ingest_done = threading.Event()
+        self._kf_flag = threading.Event()  # keyframe(s) since last detect
         # Serializes each stage's FIRST frame (= its jit compiles): jax's
         # persistent compilation cache segfaults under concurrent
         # compile+cache access from multiple threads (observed 3x in this
@@ -125,10 +159,7 @@ class AsyncSlamPipeline:
             # materializes from the completed async copies.
             o_out.world.trans.copy_to_host_async()
             self.odom_results.append((t, o_out.world.trans))
-            i = len(self.odom_results) - 8
-            if i >= 0 and not isinstance(self.odom_results[i][1], np.ndarray):
-                ti, xi = self.odom_results[i]
-                self.odom_results[i] = (ti, np.asarray(xi))
+            self._o_mat = _materialize_ready(self.odom_results, self._o_mat)
             # Republished clouds for mapping: the post-step last_* (de-skewed
             # to sweep end under DISTORTION; == feats.less_* otherwise).
             # Captured here, not in the mapping worker — o_state advances.
@@ -158,7 +189,10 @@ class AsyncSlamPipeline:
             # Keyframe gate ON DEVICE (models/pipeline.py gate_step): the
             # backend then needs only a 1-byte flag per frame, not a pose
             # fetch. This worker owns the gate state (single writer).
-            fire = self.sys.gate_step(m_out.pose)
+            fire = (
+                None if "gate_off" in _ABLATE
+                else self.sys.gate_step(m_out.pose)
+            )
             # Async D2H: blocking here (jax.device_get) serialized this
             # worker at one ~23 ms tunnel RTT per frame — the dominant
             # share of the r2 93.6-front-end vs 23.3-e2e gap. The copies
@@ -166,17 +200,12 @@ class AsyncSlamPipeline:
             # gate flag a few frames later (see _backend_worker's lag
             # window), by which point the frame's compute AND the copy
             # have landed, so the np.asarray is served from the host cache.
-            fire.copy_to_host_async()
+            if fire is not None:
+                fire.copy_to_host_async()
             m_out.pose.quat.copy_to_host_async()
             m_out.pose.trans.copy_to_host_async()
             self.mapped_results.append((t, m_out.pose.trans))
-            # Bound the live device-buffer count on long runs (live buffers
-            # degrade dispatch on this stack, CLAUDE.md): materialize the
-            # entry 8 frames back — its async copy has landed by now.
-            i = len(self.mapped_results) - 8
-            if i >= 0 and not isinstance(self.mapped_results[i][1], np.ndarray):
-                ti, xi = self.mapped_results[i]
-                self.mapped_results[i] = (ti, np.asarray(xi))
+            self._m_mat = _materialize_ready(self.mapped_results, self._m_mat)
             self.kf_q.put((t, m_out.pose, feats, fire))
 
     # The backend gate-checks a frame only once it is LAG frames old: by
@@ -190,24 +219,29 @@ class AsyncSlamPipeline:
     _BACKEND_LAG = 6
 
     def _backend_worker(self):
+        """Keyframe INGEST only (process_pg analog): gate check +
+        _add_keyframe. Loop detection / ICP / PGO live in _loop_worker —
+        splitting them off the ingest path mirrors the reference's
+        process_lcd/process_icp/process_isam threads
+        (src/laserPosegraphOptimization.cpp:910-916) and stops a ~1 s ICP
+        verification from stalling keyframe ingestion."""
         from collections import deque
 
-        from scaloam_tpu.models import posegraph as pg
-
         first = [False]
-        last_opt = time.time()
-        last_lcd = 0.0
-        kf_since_lcd = False
         pending = deque()
 
         def process(item):
-            nonlocal kf_since_lcd
             t, mapped_pose, feats, fire = item
             with self._lock:
-                if bool(np.asarray(fire)):
+                is_kf = (
+                    self.sys._keyframe_gate(mapped_pose)  # r3-style bisect
+                    if fire is None
+                    else bool(np.asarray(fire))
+                )
+                if is_kf:
                     with self._first_frame_guard(first):
                         self.sys._add_keyframe(feats, mapped_pose, t)
-                    kf_since_lcd = True
+                    self._kf_flag.set()
 
         while True:
             item = self.kf_q.get(timeout=0.2)
@@ -216,49 +250,80 @@ class AsyncSlamPipeline:
             drained = self._stop.is_set() or (
                 self.kf_q.closed and len(self.kf_q) == 0
             )
-            # Process everything older than the lag window; on a stream
-            # stall (timeout) or at end-of-stream the whole backlog is old
-            # enough — its copies have long landed.
-            target = 0 if (item is None or drained) else self._BACKEND_LAG
+            # Process everything older than the lag window; only at
+            # end-of-stream is the whole backlog processed regardless of
+            # age (a mid-stream stall must NOT force-process fresh entries
+            # whose gate-flag copies are still in flight — the np.asarray
+            # would block on the device).
+            target = (
+                0 if (drained or "lag_off" in _ABLATE) else self._BACKEND_LAG
+            )
             while len(pending) > target:
                 process(pending.popleft())
             if item is None and drained:
-                # Drain: one final loop-detect pass on the last keyframe
-                # so short offline runs aren't cadence-starved — and a
-                # final optimize so a loop edge added here (or keyframes
-                # landed after the last pgo_hz tick) actually reaches
-                # the trajectory (ADVICE r2: detect-without-apply).
-                if not self._stop.is_set():
-                    with self._lock:
-                        if kf_since_lcd:
-                            self.sys._detect_and_verify_loop()
-                        if len(self.sys.keyframes) > 1:
+                self._ingest_done.set()
+                return
+
+    def _loop_worker(self):
+        """Cadenced loop-closure + PGO thread (process_lcd + process_icp +
+        process_isam, src/laserPosegraphOptimization.cpp:732-808). The
+        long ICP verification runs OUTSIDE the system lock on numpy
+        snapshots (graph buffers are donated away by concurrent ingest —
+        fetch_pose_tables snapshots under the lock); detection, the loop
+        commit, and the optimize dispatch hold it briefly."""
+        from scaloam_tpu.models import posegraph as pg
+
+        last_opt = time.time()
+        last_lcd = 0.0
+        lcd_period = 1.0 / max(self.cfg.runtime.loop_detection_hz, 1e-6)
+        opt_period = 1.0 / max(self.cfg.runtime.pgo_hz, 1e-6)
+        first_lcd = [False]  # compile-serialization guards (_compile_lock):
+        first_icp = [False]  # this thread's first detect/ICP/optimize can
+        first_opt = [False]  # now compile CONCURRENTLY with ingest's
+        # _add_keyframe compile — the documented cache-crash hazard.
+        while True:
+            done = self._ingest_done.is_set() or self._stop.is_set()
+            now = time.time()
+            if self._kf_flag.is_set() and (
+                done or now - last_lcd >= lcd_period
+            ) and not self._stop.is_set():
+                # Detect on the LATEST keyframe at the cadence: keyframes
+                # arriving faster than the cadence are not individually
+                # queried (reference :732-742).
+                self._kf_flag.clear()
+                with self._lock:
+                    with self._first_frame_guard(first_lcd):
+                        idx, yaw, _ = self.sys.sc.detect_loop_closure_id()
+                    curr = len(self.sys.keyframes) - 1
+                    poses = (
+                        self.sys.fetch_pose_tables() if idx >= 0 else None
+                    )
+                if idx >= 0:
+                    with self._first_frame_guard(first_icp):
+                        z = self.sys._icp_verify(curr, idx, yaw, poses=poses)
+                    if z is not None:
+                        with self._lock:
+                            self.sys.commit_loop(curr, idx, z)
+                last_lcd = now
+            if (
+                done or now - last_opt >= opt_period
+            ) and not self._stop.is_set():
+                with self._lock:
+                    if len(self.sys.keyframes) > 1:
+                        with self._first_frame_guard(first_opt):
                             self.sys.graph = pg.optimize(
                                 self.sys.graph, self.cfg.pgo
                             )
-                        if self.sys._writer is not None:
-                            self.sys.flush_artifacts()
-                return
-            # Loop detection runs on the LATEST keyframe at
-            # loop_detection_hz, like the reference's process_lcd thread
-            # (src/laserPosegraphOptimization.cpp:732-742): keyframes that
-            # arrive faster than the cadence are not individually queried.
-            now = time.time()
-            if kf_since_lcd and (
-                now - last_lcd >= 1.0 / max(self.cfg.runtime.loop_detection_hz, 1e-6)
-            ):
-                with self._lock:
-                    self.sys._detect_and_verify_loop()
-                kf_since_lcd = False
-                last_lcd = now
-            if now - last_opt >= 1.0 / max(self.cfg.runtime.pgo_hz, 1e-6):
-                with self._lock:
-                    if len(self.sys.keyframes) > 1:
-                        self.sys.graph = pg.optimize(self.sys.graph, self.cfg.pgo)
                     # per-cycle artifact dump (reference :803-805)
                     if self.sys._writer is not None:
                         self.sys.flush_artifacts()
                 last_opt = now
+            if done:
+                # Final pass ran above (cadences forced by `done`): a loop
+                # edge found at drain time — or keyframes landed after the
+                # last tick — reaches the trajectory (ADVICE r2).
+                return
+            time.sleep(0.02)
 
     # -- lifecycle ------------------------------------------------------------
 
@@ -296,6 +361,7 @@ class AsyncSlamPipeline:
                 self._odometry_worker,
                 self._mapping_worker,
                 self._backend_worker,
+                self._loop_worker,
             ):
                 th = threading.Thread(target=fn, daemon=True)
                 th.start()

@@ -70,6 +70,32 @@ print(f"A scalar chain (8x solve+apply): {timed(drive_a, lambda: o0):.3f} ms",
       flush=True)
 
 
+@jax.jit
+def chain_lapack(A, b):
+    pose = Pose.identity()
+    for _ in range(8):
+        diag = jnp.diagonal(A)
+        M = A + 1e-6 * jnp.diag(jnp.maximum(diag, 1e-8)) + pose.trans[0] * 0.0
+        delta = jnp.linalg.solve(M, -b)
+        pose = gn.apply_delta(pose, delta)
+        b = b * 0.99 + jnp.concatenate([pose.trans, delta[:3]]) * 0.01
+    return pose.trans
+
+
+o0b = chain_lapack(As[0], bs[0])
+
+
+def drive_a2():
+    o = None
+    for i in range(1, N_T + 1):
+        o = chain_lapack(As[i], bs[i])
+    return o
+
+
+print(f"A2 lapack chain (8x solve+apply): {timed(drive_a2, lambda: o0b):.3f} ms",
+      flush=True)
+
+
 # --- B/C: relinearize + reduce ---------------------------------------------
 def make_probe(n_e, n_p):
     pT = jnp.asarray(rng.uniform(-40, 40, (3, n_e)).astype(np.float32))
