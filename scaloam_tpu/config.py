@@ -170,6 +170,13 @@ class PGOConfig:
     keyframe_meter_gap: float = 2.0
     keyframe_deg_gap: float = 10.0
     keyframe_voxel_size: float = 0.4  # downsample of stored keyframe clouds (:629-631)
+    # Output capacity of the keyframe 0.4 m filter (feeds the SC
+    # descriptor + the stored Scans/). Real 0.4 m keyframe clouds are
+    # ~20-37k points (the reference's shipped KAIST03 Scans are ~37k);
+    # capacity = cost on TPU: the compaction gathers exactly this many
+    # rows per keyframe (sizing it at the raw-scan cap cost 12.6 ms of
+    # the 21 ms per-keyframe backend budget, tools/micro_backend.py).
+    keyframe_cloud_capacity: int = 65536
     # Noise variances, GTSAM ordering (rot x3, trans x3) (initNoises :284-310).
     prior_variance: float = 1e-12
     odom_rot_variance: float = 1e-6

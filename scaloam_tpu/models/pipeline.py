@@ -228,7 +228,7 @@ def _prepare_keyframe(ri_xyz, ri_mask, ri_rel_time, cfg: SlamConfig):
     return voxel.voxel_downsample_packed(
         ri_xyz.reshape(-1, 3), ri_mask.reshape(-1),
         cfg.pgo.keyframe_voxel_size,
-        capacity=cfg.scancontext.max_input_points,
+        capacity=cfg.pgo.keyframe_cloud_capacity,
         extra=intens, xy_bits=10, z_bits=9,
     )
 

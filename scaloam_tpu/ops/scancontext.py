@@ -49,14 +49,27 @@ def make_descriptor(
     ring = jnp.clip(jnp.ceil(r / max_radius * num_ring), 1, num_ring) - 1
     sector = jnp.clip(jnp.ceil(theta / 360.0 * num_sector), 1, num_sector) - 1
     ok = mask & (r <= max_radius)
+    n_bins = num_ring * num_sector
     bins = (ring * num_sector + sector).astype(jnp.int32)
-    bins = jnp.where(ok, bins, num_ring * num_sector)
+    bins = jnp.where(ok, bins, n_bins)
 
-    grid = jax.ops.segment_max(
-        jnp.where(ok, z, -jnp.inf),
-        bins,
-        num_segments=num_ring * num_sector + 1,
-    )[:-1]
+    # Per-bin max WITHOUT segment_max: a duplicate-index scatter-max of a
+    # 131k-point cloud into 1200 bins (~100 duplicates per bin) serializes
+    # to ~100 ms of device time on this TPU — it was the real cost behind
+    # the "SC detect p50 126 ms" misattribution in BENCH_SYSTEM_r03 (the
+    # un-fetched make_and_append landed on the next fetch). Instead: one
+    # two-key sort by (bin, z); each bin's EXACT max-z sits at its run's
+    # last element, placed by a unique-index scatter.
+    bin_s, z_s = jax.lax.sort([bins, jnp.where(ok, z, -jnp.inf)], num_keys=2)
+    last = jnp.concatenate(
+        [bin_s[1:] != bin_s[:-1], jnp.ones((1,), bool)]
+    )
+    scat = jnp.where(last & (bin_s < n_bins), bin_s, n_bins)
+    grid = (
+        jnp.zeros((n_bins,), jnp.float32)
+        .at[scat]
+        .set(z_s, mode="drop")
+    )
     grid = jnp.where(jnp.isfinite(grid), grid, 0.0)  # NO_POINT -> 0
     return grid.reshape(num_ring, num_sector)
 

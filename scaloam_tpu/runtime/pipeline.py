@@ -95,6 +95,14 @@ class AsyncSlamPipeline:
         self._lock = threading.Lock()
         self._ingest_done = threading.Event()
         self._kf_flag = threading.Event()  # keyframe(s) since last detect
+        # Per-stage host busy-time (seconds outside queue waits) + frame
+        # counts — the e2e bottleneck diagnostic (scans/s is wall-bound by
+        # the busiest stage when the device is not saturated).
+        self.stage_busy = {
+            "registration": 0.0, "odometry": 0.0, "mapping": 0.0,
+            "backend": 0.0, "loop": 0.0,
+        }
+        self.stage_frames = dict.fromkeys(self.stage_busy, 0)
         # Serializes each stage's FIRST frame (= its jit compiles): jax's
         # persistent compilation cache segfaults under concurrent
         # compile+cache access from multiple threads (observed 3x in this
@@ -132,10 +140,13 @@ class AsyncSlamPipeline:
                     return
                 continue
             t, pts = item
+            t0 = time.perf_counter()
             with self._first_frame_guard(first):
                 scan = LidarScan.from_numpy(pts, self.cfg.sensor.max_points)
                 feats = features.extract_features(scan, self.cfg)
             self.feat_q.put((t, feats))
+            self.stage_busy["registration"] += time.perf_counter() - t0
+            self.stage_frames["registration"] += 1
 
     def _odometry_worker(self):
         first = [False]
@@ -149,6 +160,7 @@ class AsyncSlamPipeline:
                     return
                 continue
             t, feats = item
+            t0 = time.perf_counter()
             with self._first_frame_guard(first):
                 self.sys.o_state, o_out = odometry_mod.odometry_step(
                     self.sys.o_state, feats, self.cfg
@@ -167,6 +179,8 @@ class AsyncSlamPipeline:
                 t, o_out.world, feats,
                 self.sys.o_state.last_corner, self.sys.o_state.last_surf,
             ))
+            self.stage_busy["odometry"] += time.perf_counter() - t0
+            self.stage_frames["odometry"] += 1
 
     def _mapping_worker(self):
         first = [False]
@@ -181,6 +195,7 @@ class AsyncSlamPipeline:
                     return
                 continue
             t, odom_pose, feats, reg_corner, reg_surf = item
+            t0 = time.perf_counter()
             with self._first_frame_guard(first):
                 self.sys.m_state, m_out = mapping_mod.mapping_step(
                     self.sys.m_state, odom_pose, reg_corner, reg_surf,
@@ -207,6 +222,8 @@ class AsyncSlamPipeline:
             self.mapped_results.append((t, m_out.pose.trans))
             self._m_mat = _materialize_ready(self.mapped_results, self._m_mat)
             self.kf_q.put((t, m_out.pose, feats, fire))
+            self.stage_busy["mapping"] += time.perf_counter() - t0
+            self.stage_frames["mapping"] += 1
 
     # The backend gate-checks a frame only once it is LAG frames old: by
     # then the mapping worker's async D2H copy of the 1-byte gate flag has
@@ -232,6 +249,7 @@ class AsyncSlamPipeline:
 
         def process(item):
             t, mapped_pose, feats, fire = item
+            t0 = time.perf_counter()
             with self._lock:
                 is_kf = (
                     self.sys._keyframe_gate(mapped_pose)  # r3-style bisect
@@ -242,6 +260,8 @@ class AsyncSlamPipeline:
                     with self._first_frame_guard(first):
                         self.sys._add_keyframe(feats, mapped_pose, t)
                     self._kf_flag.set()
+            self.stage_busy["backend"] += time.perf_counter() - t0
+            self.stage_frames["backend"] += 1
 
         while True:
             item = self.kf_q.get(timeout=0.2)

@@ -68,6 +68,11 @@ def main():
         f"({e2e:.1f} scans/s end-to-end), "
         f"keyframes={len(pipe.sys.keyframes)} loops={len(pipe.sys.loops_found)}"
     )
+    for k in pipe.stage_busy:
+        n = max(pipe.stage_frames.get(k, 0), 1)
+        print(f"  stage {k}: busy {pipe.stage_busy[k]:.2f}s over "
+              f"{pipe.stage_frames.get(k, 0)} frames "
+              f"({1e3 * pipe.stage_busy[k] / n:.1f} ms/frame)")
 
     # --- per-keyframe backend attribution (synchronous, timed blocks) -----
     sys_ = SlamSystem(cfg)
