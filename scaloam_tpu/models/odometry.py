@@ -102,6 +102,7 @@ def _sweep_candidates(rel: Pose, feats: ScanFeatures, state: OdometryState,
         _, p_same, _, p_other = correspond.ring_constrained_nn2_pts(
             q, q_cloud.mask, ring_j, excl, t_cloud.xyz, t_cloud.mask,
             t_cloud.ring, ocfg.nearby_scan, tile=4096,
+            want_same=want_same,  # corners need only the other-ring pt
         )
         return (any_pts, p_same, p_other) if want_same else (any_pts, p_other)
 

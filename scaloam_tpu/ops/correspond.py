@@ -85,7 +85,7 @@ def ring_constrained_nn(
     return ds, is_, do, io
 
 
-@functools.partial(jax.jit, static_argnames=("tile",))
+@functools.partial(jax.jit, static_argnames=("tile", "want_same"))
 def ring_constrained_nn2_pts(
     query: jax.Array,  # [Q, 3]
     query_mask: jax.Array,  # [Q]
@@ -96,13 +96,18 @@ def ring_constrained_nn2_pts(
     target_ring: jax.Array,  # [T] float
     nearby: float,
     tile: int = 4096,
+    want_same: bool = True,
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Top-2 same-ring / nearby-other-ring companions, returning the
     winner POINTS directly: (d_same [Q,2], p_same [Q,2,3], d_other [Q,2],
     p_other [Q,2,3]). Point rows ride one-hot MXU matmuls inside the scan
     — no index bookkeeping, no post-scan target[idx] gathers (~20% faster
     than the index variant on the odometry surf sweep,
-    tools/profile_ringpass.py)."""
+    tools/profile_ringpass.py).
+
+    want_same=False (the CORNER pass: the edge factor needs only the
+    nearby-other-ring companion, src/laserOdometry.cpp:312-361) skips the
+    same-ring top-2 entirely — returns zeros for (d_same, p_same)."""
     while target.shape[0] % tile != 0:
         tile //= 2
     n_tiles = target.shape[0] // tile
@@ -120,15 +125,16 @@ def ring_constrained_nn2_pts(
         d = q2 + t2 - 2.0 * cross  # [Q, tile]
         gidx = i * tile + cols
         dr = tr[None, :] - ring_ref[:, None]
-        same = (jnp.abs(dr) < 0.5) & (gidx != exclude_idx[:, None])
         other = (jnp.abs(dr) >= 0.5) & (jnp.abs(dr) <= nearby)
         base = tm[None, :]
-        vs = voxel._tile_top2_payload(jnp.where(base & same, d, _BIG), tgt, cols)
+        if want_same:
+            same = (jnp.abs(dr) < 0.5) & (gidx != exclude_idx[:, None])
+            vs = voxel._tile_top2_payload(
+                jnp.where(base & same, d, _BIG), tgt, cols
+            )
+            s_ = voxel._merge_top2_payload(s_, vs)
         vo = voxel._tile_top2_payload(jnp.where(base & other, d, _BIG), tgt, cols)
-        return (
-            voxel._merge_top2_payload(s_, vs)
-            + voxel._merge_top2_payload(o_, vo)
-        ), None
+        return (s_ + voxel._merge_top2_payload(o_, vo)), None
 
     z_d = jnp.full((qn,), _BIG)
     z_p = jnp.zeros((qn, 3))

@@ -32,10 +32,6 @@ from scaloam_tpu.ops import features
 from scaloam_tpu.runtime.queues import BoundedQueue
 from scaloam_tpu.types import LidarScan, Pose
 
-import os as _os
-
-_ABLATE = _os.environ.get("SCALOAM_E2E_ABLATE", "")  # temp bisect hook
-
 
 def _materialize_ready(results, ptr, keep=128):
     """Advance `ptr` over `results`, converting long-COMPLETED async-copied
@@ -49,8 +45,6 @@ def _materialize_ready(results, ptr, keep=128):
     pipeline to ~10 scans/s at keep=8 (e2e ablation bs_abl_*: mat_off 21.6
     vs 10.4 with). At 128 frames (~1.5 s) the async copy has long landed
     and the conversion is a host-cache read."""
-    if "mat_off" in _ABLATE:
-        return ptr
     while ptr < len(results) - keep:
         t, x = results[ptr]
         if isinstance(x, np.ndarray):
@@ -204,10 +198,7 @@ class AsyncSlamPipeline:
             # Keyframe gate ON DEVICE (models/pipeline.py gate_step): the
             # backend then needs only a 1-byte flag per frame, not a pose
             # fetch. This worker owns the gate state (single writer).
-            fire = (
-                None if "gate_off" in _ABLATE
-                else self.sys.gate_step(m_out.pose)
-            )
+            fire = self.sys.gate_step(m_out.pose)
             # Async D2H: blocking here (jax.device_get) serialized this
             # worker at one ~23 ms tunnel RTT per frame — the dominant
             # share of the r2 93.6-front-end vs 23.3-e2e gap. The copies
@@ -215,8 +206,7 @@ class AsyncSlamPipeline:
             # gate flag a few frames later (see _backend_worker's lag
             # window), by which point the frame's compute AND the copy
             # have landed, so the np.asarray is served from the host cache.
-            if fire is not None:
-                fire.copy_to_host_async()
+            fire.copy_to_host_async()
             m_out.pose.quat.copy_to_host_async()
             m_out.pose.trans.copy_to_host_async()
             self.mapped_results.append((t, m_out.pose.trans))
@@ -251,12 +241,7 @@ class AsyncSlamPipeline:
             t, mapped_pose, feats, fire = item
             t0 = time.perf_counter()
             with self._lock:
-                is_kf = (
-                    self.sys._keyframe_gate(mapped_pose)  # r3-style bisect
-                    if fire is None
-                    else bool(np.asarray(fire))
-                )
-                if is_kf:
+                if bool(np.asarray(fire)):
                     with self._first_frame_guard(first):
                         self.sys._add_keyframe(feats, mapped_pose, t)
                     self._kf_flag.set()
@@ -275,9 +260,7 @@ class AsyncSlamPipeline:
             # age (a mid-stream stall must NOT force-process fresh entries
             # whose gate-flag copies are still in flight — the np.asarray
             # would block on the device).
-            target = (
-                0 if (drained or "lag_off" in _ABLATE) else self._BACKEND_LAG
-            )
+            target = 0 if drained else self._BACKEND_LAG
             while len(pending) > target:
                 process(pending.popleft())
             if item is None and drained:

@@ -96,6 +96,76 @@ print(f"A2 lapack chain (8x solve+apply): {timed(drive_a2, lambda: o0b):.3f} ms"
       flush=True)
 
 
+def cholesky_solve6_vec(A, b):
+    """Column-vectorized Cholesky: ~70 [6]-wide tensor ops instead of ~170
+    scalar ops (candidate replacement for the scalar chain)."""
+    eye = jnp.eye(6, dtype=A.dtype)
+    idx = jnp.arange(6)
+    L = jnp.zeros_like(A)
+    for j in range(6):
+        s = A[:, j] - L @ L[j]
+        d = jnp.sqrt(jnp.maximum(s[j], 1e-20))
+        col = jnp.where(idx >= j, s / d, 0.0)
+        L = L + jnp.outer(col, eye[j])
+    y = jnp.zeros(6, A.dtype)
+    for j in range(6):
+        y = y + ((b[j] - L[j] @ y) / L[j, j]) * eye[j]
+    x = jnp.zeros(6, A.dtype)
+    for j in reversed(range(6)):
+        x = x + ((y[j] - L[:, j] @ x) / L[j, j]) * eye[j]
+    return x
+
+
+@jax.jit
+def chain_vec(A, b):
+    pose = Pose.identity()
+    for _ in range(8):
+        diag = jnp.diagonal(A)
+        M = A + 1e-6 * jnp.diag(jnp.maximum(diag, 1e-8)) + pose.trans[0] * 0.0
+        delta = cholesky_solve6_vec(M, -b)
+        pose = gn.apply_delta(pose, delta)
+        b = b * 0.99 + jnp.concatenate([pose.trans, delta[:3]]) * 0.01
+    return pose.trans
+
+
+o0c = chain_vec(As[0], bs[0])
+
+
+def drive_a3():
+    o = None
+    for i in range(1, N_T + 1):
+        o = chain_vec(As[i], bs[i])
+    return o
+
+
+print(f"A3 vec-chol chain (8x solve+apply): {timed(drive_a3, lambda: o0c):.3f} ms",
+      flush=True)
+
+
+@jax.jit
+def chain_apply_only(A, b):
+    pose = Pose.identity()
+    for _ in range(8):
+        delta = b * 0.01 + A[0] * 1e-6
+        pose = gn.apply_delta(pose, delta)
+        b = b * 0.99 + jnp.concatenate([pose.trans, delta[:3]]) * 0.01
+    return pose.trans
+
+
+o0d = chain_apply_only(As[0], bs[0])
+
+
+def drive_a4():
+    o = None
+    for i in range(1, N_T + 1):
+        o = chain_apply_only(As[i], bs[i])
+    return o
+
+
+print(f"A4 apply-only chain (8x): {timed(drive_a4, lambda: o0d):.3f} ms",
+      flush=True)
+
+
 # --- B/C: relinearize + reduce ---------------------------------------------
 def make_probe(n_e, n_p):
     pT = jnp.asarray(rng.uniform(-40, 40, (3, n_e)).astype(np.float32))
