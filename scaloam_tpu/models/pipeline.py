@@ -562,7 +562,17 @@ class SlamSystem:
             lcfg.icp_cell_size, lcfg.icp_reach,
             coarse.transform, iterations=lcfg.icp_max_iterations,
         )
-        if not bool(res.converged) or float(res.fitness) > lcfg.fitness_threshold:
+        fit = float(res.fitness)
+        z_np = jax.device_get((res.transform.quat, res.transform.trans))
+        # NaN guard: a degenerate solve yields NaN fitness, which passes a
+        # plain `>` gate (NaN comparisons are False) and would poison the
+        # graph with a NaN loop factor — reject explicitly.
+        if (
+            not bool(res.converged)
+            or not np.isfinite(fit)
+            or fit > lcfg.fitness_threshold
+            or not all(np.isfinite(a).all() for a in z_np)
+        ):
             return None
         # C aligns curr-local onto loop-local: C ~= T_loop^-1 T_curr, so the
         # between measurement X_curr^-1 X_loop = C^-1.

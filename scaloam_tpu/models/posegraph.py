@@ -34,6 +34,15 @@ from scaloam_tpu.config import PGOConfig
 from scaloam_tpu.ops import blocktri, se3
 from scaloam_tpu.types import Pose
 
+# All Hessian/gradient einsums run at HIGHEST precision: at DEFAULT the
+# TPU MXU rounds operands to bf16, and the resulting ~0.4% block errors
+# can make the (mathematically SPD) diagonal blocks indefinite — the
+# chain preconditioner's Cholesky then clamps a negative pivot and the
+# solve explodes to ~1e13, NaN-ing the whole optimize. Latent since r3
+# (masked by a stale compiled-executable cache); reproduced + isolated on
+# the real chip r4 (CPU f32 vs fresh TPU compile on the same graph).
+_HI = jax.lax.Precision.HIGHEST
+
 
 class PoseGraph(NamedTuple):
     # Nodes.
@@ -412,20 +421,20 @@ def _gradient_and_diag(factors, N: int):
     (diagonal, slot k)] — only the loops need a true scatter."""
     odom, loops, gps = factors
     Wr_o = odom.W * odom.r
-    g = jnp.einsum("frc,fr->fc", odom.Ji, Wr_o)
-    g = g + _shift_down(jnp.einsum("frc,fr->fc", odom.Jj, Wr_o))
-    D = jnp.einsum("fri,fr,frj->fij", odom.Ji, odom.W, odom.Ji)
-    D = D + _shift_down(jnp.einsum("fri,fr,frj->fij", odom.Jj, odom.W, odom.Jj))
+    g = jnp.einsum("frc,fr->fc", odom.Ji, Wr_o, precision=_HI)
+    g = g + _shift_down(jnp.einsum("frc,fr->fc", odom.Jj, Wr_o, precision=_HI))
+    D = jnp.einsum("fri,fr,frj->fij", odom.Ji, odom.W, odom.Ji, precision=_HI)
+    D = D + _shift_down(jnp.einsum("fri,fr,frj->fij", odom.Jj, odom.W, odom.Jj, precision=_HI))
 
     Wr_g = gps.W * gps.r
-    g = g + jnp.einsum("frc,fr->fc", gps.Ji, Wr_g)
-    D = D + jnp.einsum("fri,fr,frj->fij", gps.Ji, gps.W, gps.Ji)
+    g = g + jnp.einsum("frc,fr->fc", gps.Ji, Wr_g, precision=_HI)
+    D = D + jnp.einsum("fri,fr,frj->fij", gps.Ji, gps.W, gps.Ji, precision=_HI)
 
     Wr_l = loops.W * loops.r
-    g = g.at[loops.i].add(jnp.einsum("frc,fr->fc", loops.Ji, Wr_l))
-    g = g.at[loops.j].add(jnp.einsum("frc,fr->fc", loops.Jj, Wr_l))
-    D = D.at[loops.i].add(jnp.einsum("fri,fr,frj->fij", loops.Ji, loops.W, loops.Ji))
-    D = D.at[loops.j].add(jnp.einsum("fri,fr,frj->fij", loops.Jj, loops.W, loops.Jj))
+    g = g.at[loops.i].add(jnp.einsum("frc,fr->fc", loops.Ji, Wr_l, precision=_HI))
+    g = g.at[loops.j].add(jnp.einsum("frc,fr->fc", loops.Jj, Wr_l, precision=_HI))
+    D = D.at[loops.i].add(jnp.einsum("fri,fr,frj->fij", loops.Ji, loops.W, loops.Ji, precision=_HI))
+    D = D.at[loops.j].add(jnp.einsum("fri,fr,frj->fij", loops.Jj, loops.W, loops.Jj, precision=_HI))
     return g, D
 
 
@@ -435,22 +444,22 @@ def _hess_matvec(factors, v: jax.Array, damping_diag: jax.Array) -> jax.Array:
     odom, loops, gps = factors
     out = damping_diag * v
 
-    Av = jnp.einsum("frc,fc->fr", odom.Ji, v) + jnp.einsum(
-        "frc,fc->fr", odom.Jj, _shift_up(v)
+    Av = jnp.einsum("frc,fc->fr", odom.Ji, v, precision=_HI) + jnp.einsum(
+        "frc,fc->fr", odom.Jj, _shift_up(v), precision=_HI
     )
     WAv = odom.W * Av
-    out = out + jnp.einsum("frc,fr->fc", odom.Ji, WAv)
-    out = out + _shift_down(jnp.einsum("frc,fr->fc", odom.Jj, WAv))
+    out = out + jnp.einsum("frc,fr->fc", odom.Ji, WAv, precision=_HI)
+    out = out + _shift_down(jnp.einsum("frc,fr->fc", odom.Jj, WAv, precision=_HI))
 
-    Avg = jnp.einsum("frc,fc->fr", gps.Ji, v)
-    out = out + jnp.einsum("frc,fr->fc", gps.Ji, gps.W * Avg)
+    Avg = jnp.einsum("frc,fc->fr", gps.Ji, v, precision=_HI)
+    out = out + jnp.einsum("frc,fr->fc", gps.Ji, gps.W * Avg, precision=_HI)
 
-    Avl = jnp.einsum("frc,fc->fr", loops.Ji, v[loops.i]) + jnp.einsum(
-        "frc,fc->fr", loops.Jj, v[loops.j]
+    Avl = jnp.einsum("frc,fc->fr", loops.Ji, v[loops.i], precision=_HI) + jnp.einsum(
+        "frc,fc->fr", loops.Jj, v[loops.j], precision=_HI
     )
     WAvl = loops.W * Avl
-    out = out.at[loops.i].add(jnp.einsum("frc,fr->fc", loops.Ji, WAvl))
-    out = out.at[loops.j].add(jnp.einsum("frc,fr->fc", loops.Jj, WAvl))
+    out = out.at[loops.i].add(jnp.einsum("frc,fr->fc", loops.Ji, WAvl, precision=_HI))
+    out = out.at[loops.j].add(jnp.einsum("frc,fr->fc", loops.Jj, WAvl, precision=_HI))
     return out
 
 

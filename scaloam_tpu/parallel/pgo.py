@@ -23,6 +23,10 @@ from scaloam_tpu.ops import blocktri, se3
 from scaloam_tpu.parallel.mesh import KF_AXIS
 from scaloam_tpu.types import Pose
 
+# HIGHEST: bf16-rounded Hessian blocks can go indefinite and explode the
+# chain preconditioner (see models/posegraph.py _HI note).
+_HI = jax.lax.Precision.HIGHEST
+
 
 def _take(p: Pose, idx):
     return Pose(p.quat[idx], p.trans[idx])
@@ -98,10 +102,10 @@ def optimize_sharded(graph: PoseGraph, cfg: PGOConfig, mesh, cg_iters: int = 64)
             D = jnp.zeros((N, 6, 6))
             for (i, j, r, Ji, Jj, W) in factors:
                 Wr = W * r
-                g = g.at[i].add(jnp.einsum("frc,fr->fc", Ji, Wr))
-                g = g.at[j].add(jnp.einsum("frc,fr->fc", Jj, Wr))
-                D = D.at[i].add(jnp.einsum("fri,fr,frj->fij", Ji, W, Ji))
-                D = D.at[j].add(jnp.einsum("fri,fr,frj->fij", Jj, W, Jj))
+                g = g.at[i].add(jnp.einsum("frc,fr->fc", Ji, Wr, precision=_HI))
+                g = g.at[j].add(jnp.einsum("frc,fr->fc", Jj, Wr, precision=_HI))
+                D = D.at[i].add(jnp.einsum("fri,fr,frj->fij", Ji, W, Ji, precision=_HI))
+                D = D.at[j].add(jnp.einsum("fri,fr,frj->fij", Jj, W, Jj, precision=_HI))
             g = jax.lax.psum(g, KF_AXIS)
             D = jax.lax.psum(D, KF_AXIS)
             return g, D
@@ -109,12 +113,12 @@ def optimize_sharded(graph: PoseGraph, cfg: PGOConfig, mesh, cg_iters: int = 64)
         def matvec(factors, v, damp):
             out = damp * v
             for (i, j, r, Ji, Jj, W) in factors:
-                Av = jnp.einsum("frc,fc->fr", Ji, v[i]) + jnp.einsum(
-                    "frc,fc->fr", Jj, v[j]
+                Av = jnp.einsum("frc,fc->fr", Ji, v[i], precision=_HI) + jnp.einsum(
+                    "frc,fc->fr", Jj, v[j], precision=_HI
                 )
                 WAv = W * Av
-                out = out.at[i].add(jnp.einsum("frc,fr->fc", Ji, WAv))
-                out = out.at[j].add(jnp.einsum("frc,fr->fc", Jj, WAv))
+                out = out.at[i].add(jnp.einsum("frc,fr->fc", Ji, WAv, precision=_HI))
+                out = out.at[j].add(jnp.einsum("frc,fr->fc", Jj, WAv, precision=_HI))
             return jax.lax.psum(out - damp * v, KF_AXIS) + damp * v
 
         def gn_iter(_, poses_qt):

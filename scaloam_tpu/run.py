@@ -33,6 +33,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="run N synthetic frames instead of a dataset")
     p.add_argument("--synthetic-radius", type=float, default=30.0,
                    help="synthetic circle radius (2*pi*r frames close the loop)")
+    p.add_argument("--synthetic-course", default="circle",
+                   choices=["circle", "figure8"],
+                   help="circle (single loop) or figure8 (multi-loop, "
+                        "angled self-crossings - the hardened course)")
     p.add_argument("--out", help="artifact output directory")
     p.add_argument("--max-frames", type=int, default=None)
     p.add_argument("--use-gps", action="store_true",
@@ -91,11 +95,18 @@ def main(argv=None) -> int:
         from scaloam_tpu.utils import synthetic
 
         world = synthetic.make_world(seed=0, n_boxes=60, extent=70.0)
-        scans, gt = synthetic.simulate_trajectory(
-            world, n_frames=args.synthetic, speed=1.0,
-            radius=args.synthetic_radius, n_azimuth=1024,
-            n_scans=cfg.sensor.n_scans, lidar_type=cfg.sensor.lidar_type,
-        )
+        if args.synthetic_course == "figure8":
+            scans, gt = synthetic.simulate_trajectory_figure8(
+                world, n_frames=args.synthetic, speed=1.0,
+                scale=args.synthetic_radius, n_azimuth=1024,
+                n_scans=cfg.sensor.n_scans, lidar_type=cfg.sensor.lidar_type,
+            )
+        else:
+            scans, gt = synthetic.simulate_trajectory(
+                world, n_frames=args.synthetic, speed=1.0,
+                radius=args.synthetic_radius, n_azimuth=1024,
+                n_scans=cfg.sensor.n_scans, lidar_type=cfg.sensor.lidar_type,
+            )
         frames = ((0.1 * i, s) for i, s in enumerate(scans))
         gt_poses = gt
     else:

@@ -43,6 +43,19 @@ pytestmark = pytest.mark.skipif(
     reason="reference sample data absent",
 )
 
+
+@pytest.fixture(autouse=True, scope="module")
+def _shed_accumulated_executables():
+    """XLA:CPU segfaults in backend_compile_and_load when compiling this
+    module's BIG fresh executables (ICP verify, 65k-point SC descriptors)
+    late in a process that has accumulated the whole suite's executables —
+    the JIT code-memory exhaustion class documented in
+    tests/test_runtime.py. Shed everything compiled so far first."""
+    import jax
+
+    jax.clear_caches()
+    yield
+
 _N = 21
 
 
