@@ -230,6 +230,10 @@ def _prepare_keyframe(ri_xyz, ri_mask, ri_rel_time, cfg: SlamConfig):
         cfg.pgo.keyframe_voxel_size,
         capacity=cfg.pgo.keyframe_cloud_capacity,
         extra=intens, xy_bits=10, z_bits=9,
+        # overflow beyond capacity drops the FARTHEST voxels first — the
+        # keyframe cloud's consumers are range-limited anyway (SC 80 m,
+        # loop ICP crop 40 m)
+        shell_bits=2,
     )
 
 

@@ -122,6 +122,7 @@ def voxel_downsample_packed(
     group_bits: int = 0,
     xy_bits: int = 10,
     z_bits: int = 9,
+    shell_bits: int = 0,
 ) -> Tuple[jax.Array, jax.Array, Optional[jax.Array]]:
     """Fast-path centroid voxel filter: one packed int32 key, one sort.
 
@@ -133,6 +134,13 @@ def voxel_downsample_packed(
     (callers use spans comfortably above the sensor range). z_bits=0 drops
     z from the key — exact for per-ring lidar geometry where a (ring, x, y)
     column holds a single surface sample (the less-flat filter).
+
+    shell_bits > 0 prefixes the key with a Chebyshev-distance shell index
+    (doubling radius per shell, from 1/8 of the clip range), so when the
+    occupied-voxel count exceeds `capacity` the FARTHEST cells are dropped
+    first instead of an arbitrary x-band (the key is lexicographic in
+    x). Used by the keyframe-cloud filter, whose consumers (ScanContext at
+    80 m, loop ICP cropped at 40 m) only care about near content.
     """
     n = xyz.shape[0]
     coords = jnp.floor(xyz / voxel_size).astype(jnp.int32)
@@ -150,9 +158,20 @@ def voxel_downsample_packed(
     key = (key << xy_bits) | clipb(c[:, 1], xy_bits)
     if z_bits > 0:
         key = (key << z_bits) | clipb(c[:, 2], z_bits)
+    used_bits = xy_bits * 2 + z_bits
+    if shell_bits > 0:
+        cheb = jnp.max(jnp.abs(c), axis=-1)
+        base = 1 << (xy_bits - 4)  # first shell radius: 1/8 of half-range
+        shell = jnp.clip(
+            jnp.ceil(jnp.log2(jnp.maximum(cheb, 1).astype(jnp.float32)
+                              / base) + 1.0).astype(jnp.int32),
+            0, (1 << shell_bits) - 1,
+        )
+        key = (shell << used_bits) | key
+        used_bits += shell_bits
     if group_bits > 0:
         gk = jnp.clip(group_key.astype(jnp.int32), 0, (1 << group_bits) - 1)
-        key = (gk << (xy_bits * 2 + z_bits)) | key
+        key = (gk << used_bits) | key
     key = jnp.where(mask, key, jnp.int32(2**31 - 1))
 
     # One multi-operand sort carrying the payloads (no post-sort random

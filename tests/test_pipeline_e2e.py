@@ -79,3 +79,41 @@ def test_full_pipeline_closes_loop():
     # least not be worse, and absolute ATE should be tight
     assert ate_opt < 0.5, (ate_opt, ate_odom)
     assert ate_opt <= ate_odom * 1.5
+
+
+@pytest.mark.slow
+def test_figure_eight_multiloop_course():
+    """The hardened synthetic track (VERDICT r3 missing #1): a lemniscate
+    crossing itself at an ANGLE, so loop closures must recover non-trivial
+    yaw through ScanContext's shift search. Requires at least one accepted
+    loop at the crossing and a tight optimized trajectory."""
+    import dataclasses
+
+    from scaloam_tpu import config as config_mod
+    from scaloam_tpu.models.pipeline import SlamSystem
+    from scaloam_tpu.utils import synthetic
+    from scaloam_tpu.utils.evaluation import ate_rmse
+
+    cfg = config_mod.kitti_hdl64()
+    cfg = cfg.replace(
+        sensor=dataclasses.replace(cfg.sensor, max_points=65536),
+        pgo=dataclasses.replace(cfg.pgo, keyframe_meter_gap=1.0,
+                                max_keyframes=128, max_loops=32),
+        scancontext=dataclasses.replace(
+            cfg.scancontext, max_keyframes=128, max_input_points=65536
+        ),
+    )
+    world = synthetic.make_world(seed=0, n_boxes=60, extent=70.0)
+    scans, gt = synthetic.simulate_trajectory_figure8(
+        world, n_frames=100, speed=1.0, scale=16.0, n_azimuth=720,
+        n_scans=64,
+    )
+    s = SlamSystem(cfg)
+    for i, pts in enumerate(scans):
+        s.process_scan(np.asarray(pts[:, :3], np.float32), time=0.1 * i)
+    assert len(s.loops_found) >= 1, "no loop closed at the angled crossing"
+    est = s.optimized_poses()
+    gt0 = np.linalg.inv(gt[0])
+    gt_rel = np.stack([gt0 @ g for g in gt])
+    kf_frames = [kf.frame for kf in s.keyframes]
+    assert ate_rmse(est, gt_rel[kf_frames]) < 0.5

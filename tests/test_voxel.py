@@ -381,3 +381,41 @@ def test_split3_exact_onehot_select(rng):
         "qm,mc->qc", jnp.asarray(hot), jnp.asarray(pay)
     )
     np.testing.assert_array_equal(np.asarray(sel), pay[np.argmax(hot, 1)])
+
+
+def test_packed_downsample_shell_priority_truncation():
+    """shell_bits: overflow beyond capacity drops the FARTHEST voxels
+    first (the plain packed key is lexicographic in x, so truncation
+    would otherwise cut an arbitrary x-band); under capacity the voxel
+    set is unchanged."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    pts = rng.uniform(-80, 80, (20000, 3)).astype(np.float32)
+    m = jnp.ones(20000, bool)
+    x, ok, _ = voxel.voxel_downsample_packed(
+        jnp.asarray(pts), m, 0.4, 4096, xy_bits=10, z_bits=9, shell_bits=2
+    )
+    kept = np.asarray(x)[np.asarray(ok)]
+    assert len(kept) == 4096
+    # the near ball survives: everything within the first two shells
+    # (~51 m Chebyshev around the centroid) is kept preferentially
+    cheb = np.abs(kept - pts.mean(0)).max(axis=1)
+    assert np.median(cheb) < 45.0
+    x2, ok2, _ = voxel.voxel_downsample_packed(
+        jnp.asarray(pts), m, 0.4, 4096, xy_bits=10, z_bits=9
+    )
+    kept2 = np.asarray(x2)[np.asarray(ok2)]
+    # plain key keeps an x-band instead (spatially biased drop)
+    assert kept2[:, 0].max() < 0.0 < kept[:, 0].max()
+
+    # no overflow -> identical voxel sets
+    p2 = rng.uniform(-10, 10, (3000, 3)).astype(np.float32)
+    m2 = jnp.ones(3000, bool)
+    a, am, _ = voxel.voxel_downsample_packed(
+        jnp.asarray(p2), m2, 0.4, 4096, shell_bits=2
+    )
+    b, bm, _ = voxel.voxel_downsample_packed(jnp.asarray(p2), m2, 0.4, 4096)
+    sa = set(map(tuple, np.asarray(a)[np.asarray(am)].round(3).tolist()))
+    sb = set(map(tuple, np.asarray(b)[np.asarray(bm)].round(3).tolist()))
+    assert sa == sb
