@@ -94,28 +94,6 @@ class Keyframe:
         return self._intensity
 
 
-def _np_pose(p: Pose) -> Pose:
-    # one batched D2H for both leaves (separate np.asarray calls are two
-    # ~23 ms RTTs each on the tunneled TPU; this runs once per frame)
-    q, t = jax.device_get((p.quat, p.trans))
-    return Pose(np.asarray(q), np.asarray(t))
-
-
-def _np_quat_conj(q):
-    return q * np.array([1.0, -1.0, -1.0, -1.0])
-
-
-def _np_quat_mul(a, b):
-    aw, ax, ay, az = a
-    bw, bx, by, bz = b
-    return np.array([
-        aw * bw - ax * bx - ay * by - az * bz,
-        aw * bx + ax * bw + ay * bz - az * by,
-        aw * by - ax * bz + ay * bw + az * bx,
-        aw * bz + ax * by - ay * bx + az * bw,
-    ])
-
-
 def _np_quat_to_mat(q):
     """[4] wxyz -> [3, 3] rotation, pure numpy (host-side per-keyframe math
     must not dispatch device ops — each eager op is an RPC on a tunneled
@@ -155,14 +133,6 @@ def _np_mat_to_quat(R):
         q = [(m10 - m01) / s, (m02 + m20) / s, (m12 + m21) / s, 0.25 * s]
     q = np.asarray(q)
     return q / np.linalg.norm(q)
-
-
-def _np_quat_to_rpy(q):
-    w, x, y, z = q
-    roll = np.arctan2(2 * (w * x + y * z), 1 - 2 * (x * x + y * y))
-    pitch = np.arcsin(np.clip(2 * (w * y - z * x), -1.0, 1.0))
-    yaw = np.arctan2(2 * (w * z + x * y), 1 - 2 * (y * y + z * z))
-    return roll, pitch, yaw
 
 
 class GateState(NamedTuple):

@@ -30,7 +30,7 @@ from scaloam_tpu.models import odometry as odometry_mod
 from scaloam_tpu.models.pipeline import SlamSystem
 from scaloam_tpu.ops import features
 from scaloam_tpu.runtime.queues import BoundedQueue
-from scaloam_tpu.types import LidarScan, Pose
+from scaloam_tpu.types import LidarScan
 
 
 def _materialize_ready(results, ptr, keep=128):
