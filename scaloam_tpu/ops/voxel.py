@@ -182,14 +182,27 @@ def voxel_downsample_packed(
     # at the segment starts. Voxels holding >8 points average their first 8
     # (rare at sane leafs; bias << leaf size).
     MEAN_WINDOW = 8
-    operands = [key, mask.astype(jnp.int32), xyz[:, 0], xyz[:, 1], xyz[:, 2]]
+    # Validity rides the KEY when the packed range provably stays below
+    # the invalid sentinel (no shell/group prefix: max key = 2^(2*xy+z)-1
+    # < 2^31-1), dropping one sort operand — the sort is this filter's
+    # cost center (same diet as build_range_image, tools/roofline.py).
+    mask_in_key = shell_bits == 0 and group_bits == 0 and (
+        2 * xy_bits + z_bits < 31
+    )
+    operands = [key, xyz[:, 0], xyz[:, 1], xyz[:, 2]]
+    if not mask_in_key:
+        operands.insert(1, mask.astype(jnp.int32))
     n_extra = 0
     if extra is not None:
         n_extra = extra.shape[1]
         operands += [extra[:, i] for i in range(n_extra)]
     sorted_ops = jax.lax.sort(operands, num_keys=1)
     key_s = sorted_ops[0]
-    mask_s = sorted_ops[1].astype(bool)
+    if mask_in_key:
+        mask_s = key_s != jnp.int32(2**31 - 1)
+    else:
+        mask_s = sorted_ops[1].astype(bool)
+        sorted_ops = [sorted_ops[0], *sorted_ops[2:]]
 
     prev_same = jnp.concatenate([jnp.array([False]), key_s[1:] == key_s[:-1]])
     new_voxel = (~prev_same) & mask_s
@@ -198,7 +211,7 @@ def voxel_downsample_packed(
     # acc[i] = sum over [i, i+2^k) clipped to i's segment, f[i] = "the whole
     # [i, i+2^k) window continues i's segment". 3 steps give the
     # min(segment length, 8)-element window exactly.
-    vals = jnp.stack(sorted_ops[2 : 5 + n_extra], axis=-1)
+    vals = jnp.stack(sorted_ops[1 : 4 + n_extra], axis=-1)
     vals = jnp.where(mask_s[:, None], vals, 0.0)
     sn = jnp.concatenate(
         [(key_s[1:] == key_s[:-1]) & mask_s[1:], jnp.zeros((1,), bool)]
