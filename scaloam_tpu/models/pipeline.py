@@ -573,7 +573,7 @@ class SlamSystem:
 
     # -- session artifacts + resume (SURVEY.md §5 checkpoint/resume) ----------
 
-    def attach_session_writer(self, directory: str) -> None:
+    def attach_session_writer(self, directory: str, live: bool = True) -> None:
         """Enable continuous artifact flushing into `directory`: every
         optimize cycle then dumps poses + g2o and any unwritten keyframes
         (the reference's per-cycle save, de-facto crash checkpointing,
@@ -590,6 +590,7 @@ class SlamSystem:
             and os.path.abspath(directory) == self._resume_dir
         )
         self._writer = artifacts.SessionWriter(directory, append=append)
+        self._live = live
 
     def flush_artifacts(self) -> None:
         """Write unwritten keyframes (Scans/SCDs/times) + the pose/graph
@@ -626,9 +627,18 @@ class SlamSystem:
             loop_edges = [
                 (int(li[i]), int(lj[i]), T_all[i]) for i in range(nl)
             ]
-        w.save_poses(
-            self.optimized_poses(), self.odometry_keyframe_poses(), loop_edges
-        )
+        opt = self.optimized_poses()
+        odom = self.odometry_keyframe_poses()
+        w.save_poses(opt, odom, loop_edges)
+        if getattr(self, "_live", False):
+            # Live observability (the reference's rviz topics, headless):
+            # rewrite live.html from the pose tables just fetched — no
+            # extra D2H, microseconds of host SVG work per cycle.
+            from scaloam_tpu.utils import live as live_mod
+
+            live_mod.write_live_view(
+                w.dir, opt, odom, [(i, j) for i, j, _ in loop_edges]
+            )
 
     def save_session(self, directory: str) -> None:
         """Writes the reference's full artifact set: Scans/, SCDs/,

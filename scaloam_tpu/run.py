@@ -47,6 +47,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--backend-device", type=int, default=None,
                    help="device index for the backend stage (pipeline "
                         "parallelism over chips: SC/ICP/PGO run there)")
+    p.add_argument("--no-live", action="store_true",
+                   help="disable the auto-refreshing live.html trajectory "
+                        "view written into --out each optimize cycle")
     p.add_argument("--sc-dist-thres", type=float, default=None)
     p.add_argument("--keyframe-gap", type=float, default=None)
     return p
@@ -138,7 +141,7 @@ def main(argv=None) -> int:
         # Continuous per-optimize-cycle artifact flush (the reference's
         # crash-checkpointing dump, laserPosegraphOptimization.cpp:803-805):
         # a killed run leaves a resumable session, not nothing.
-        sys_.attach_session_writer(args.out)
+        sys_.attach_session_writer(args.out, live=not args.no_live)
 
     timer = StageTimer(budget_ms=cfg.runtime.stage_budget_ms)
     n = 0
