@@ -18,6 +18,7 @@ poses they join, each carrying a native SVG tooltip naming the pair.
 
 from __future__ import annotations
 
+import html as html_mod
 import os
 import time
 from typing import Optional, Sequence, Tuple
@@ -71,15 +72,19 @@ def render_live_svg(
         f'<rect width="{_W}" height="{_H}" fill="#ffffff"/>',
     ]
     # recessive scale bar (a top-down map has no meaningful axes; the
-    # scale bar replaces them)
+    # scale bar replaces them). Skipped while the trajectory span is
+    # degenerate (first keyframe / coincident poses): span clamps to 1e-3
+    # there, so the floored 0.01 m bar would render thousands of px wide
+    # and overflow the canvas (ADVICE r4).
     bar_m = 10 ** int(np.floor(np.log10(max(span / 4.0, 1e-2))))
     bx0, by = _PAD, _H - 16
-    parts.append(
-        f'<line x1="{bx0}" y1="{by}" x2="{bx0 + bar_m * s:.1f}" y2="{by}" '
-        f'stroke="{_MUTED}" stroke-width="2"/>'
-        f'<text x="{bx0 + bar_m * s / 2:.1f}" y="{by - 6}" font-size="11" '
-        f'fill="{_MUTED}" text-anchor="middle">{bar_m:g} m</text>'
-    )
+    if bar_m * s <= inner_w:
+        parts.append(
+            f'<line x1="{bx0}" y1="{by}" x2="{bx0 + bar_m * s:.1f}" y2="{by}" '
+            f'stroke="{_MUTED}" stroke-width="2"/>'
+            f'<text x="{bx0 + bar_m * s / 2:.1f}" y="{by - 6}" font-size="11" '
+            f'fill="{_MUTED}" text-anchor="middle">{bar_m:g} m</text>'
+        )
     # loop chords under the paths
     for i, j in loop_pairs:
         if i < len(opt_xy) and j < len(opt_xy):
@@ -137,7 +142,8 @@ def write_live_view(
         f" &#183; {time.strftime('%H:%M:%S')}"
     )
     if extra:
-        stats += f" &#183; {extra}"
+        # escape: `extra` is caller text interpolated into markup (ADVICE r4)
+        stats += f" &#183; {html_mod.escape(extra)}"
     svg = render_live_svg(opt_xy, odom_xy, loop_pairs, stats)
     html = (
         "<!doctype html><html><head><meta charset='utf-8'>"

@@ -148,6 +148,7 @@ def simulate_trajectory(
     lidar_type: str = "HDL64",
     skew: bool = False,
     accel: float = 0.0,
+    climb: float = 0.0,
 ) -> Tuple[list, np.ndarray]:
     """Drive a circle through the world (closes a loop if n_frames covers it).
 
@@ -158,12 +159,20 @@ def simulate_trajectory(
     accel: per-frame speed increase (m/frame^2). With skew=True a nonzero
     accel makes consecutive sweeps skew DIFFERENTLY — the regime where the
     reference's DISTORTION path matters (constant-velocity skew cancels in
-    scan-to-scan matching)."""
+    scan-to-scan matching).
+
+    climb: per-frame altitude gain (m/frame) — an ascending course for the
+    GPS-altitude path (the reference's altitude-only GPS factors,
+    src/laserPosegraphOptimization.cpp:302-308)."""
 
     def pose_at(i):
         theta = (speed * i + 0.5 * accel * i * i) / radius
         return (
-            np.array([radius * np.sin(theta), radius * (1 - np.cos(theta)), 1.8]),
+            np.array([
+                radius * np.sin(theta),
+                radius * (1 - np.cos(theta)),
+                1.8 + climb * i,
+            ]),
             theta,
         )
 
