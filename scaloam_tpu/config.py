@@ -161,6 +161,9 @@ class LoopClosureConfig:
     icp_grid_xy: int = 64
     icp_grid_z: int = 32
     icp_cell_cap: int = 32
+    # Device-side early exit once the pose update falls below this
+    # (setTransformationEpsilon(1e-6), reference :522); 0 disables.
+    transformation_eps: float = 1e-6
 
 
 @dataclasses.dataclass(frozen=True)
@@ -206,6 +209,12 @@ class RuntimeConfig:
 
     queue_depth: int = 100  # ROS queue sizes
     drop_backlog: bool = True  # laserMapping.cpp:300-304 real-time policy
+    # ONE fused jit (features+odometry+mapping+gate+keyframe-prep) on a
+    # single front-end thread instead of three stage threads/executables:
+    # saves ~3 host dispatches (~1 ms each, CLAUDE.md) + queue handoffs
+    # per frame on the async runtime (models/frontend.py). The separate-
+    # stage path remains for ablation and skip_frame cadences.
+    fused_frontend: bool = True
     loop_detection_hz: float = 1.0
     pgo_hz: float = 1.0
     stage_budget_ms: float = 100.0  # real-time alarm threshold

@@ -72,6 +72,12 @@ class AsyncSlamPipeline:
         self.drop_backlog = (
             cfg.runtime.drop_backlog if drop_backlog is None else drop_backlog
         )
+        # Fused mode: one front-end thread, one jit per frame
+        # (models/frontend.py). The fused step maps every frame, so a
+        # skip_frame cadence falls back to the separate-stage threads.
+        self.fused = (
+            cfg.runtime.fused_frontend and cfg.odometry.skip_frame == 1
+        )
         self.sys = system if system is not None else SlamSystem(
             cfg, backend_device=backend_device
         )
@@ -94,7 +100,7 @@ class AsyncSlamPipeline:
         # the busiest stage when the device is not saturated).
         self.stage_busy = {
             "registration": 0.0, "odometry": 0.0, "mapping": 0.0,
-            "backend": 0.0, "loop": 0.0,
+            "frontend": 0.0, "backend": 0.0, "loop": 0.0,
         }
         self.stage_frames = dict.fromkeys(self.stage_busy, 0)
         # Serializes each stage's FIRST frame (= its jit compiles): jax's
@@ -176,6 +182,53 @@ class AsyncSlamPipeline:
             self.stage_busy["odometry"] += time.perf_counter() - t0
             self.stage_frames["odometry"] += 1
 
+    def _fused_frontend_worker(self):
+        """Single-thread fused front-end (models/frontend.py): one jit
+        dispatch per frame covering features+odometry+mapping+gate and —
+        on keyframe frames, under the step's lax.cond — the keyframe cloud
+        prep. Pushes (t, mapped_pose, kf buffers, fire) to the backend."""
+        from scaloam_tpu.models import frontend as frontend_mod
+
+        first = [False]
+        while True:
+            item = self.scan_q.get(timeout=0.2)
+            if item is None:
+                if self._stop.is_set() or (
+                    self.scan_q.closed and len(self.scan_q) == 0
+                ):
+                    self.kf_q.close()
+                    return
+                continue
+            t, pts = item
+            t0 = time.perf_counter()
+            with self._first_frame_guard(first):
+                scan = LidarScan.from_numpy(pts, self.cfg.sensor.max_points)
+                fe = frontend_mod.FrontendState(
+                    self.sys.o_state, self.sys.m_state, self.sys.gate_state
+                )
+                fe, out = frontend_mod.frontend_step(fe, scan, self.cfg)
+                self.sys.o_state = fe.o
+                self.sys.m_state = fe.m
+                self.sys.gate_state = fe.gate
+            # Async D2H only (blocking per-frame fetches serialize the
+            # pipeline at one ~23 ms tunnel RTT each — see the separate-
+            # stage workers). The backend materializes the gate flag a
+            # lag-window later; finish() materializes the results.
+            out.odom_world.trans.copy_to_host_async()
+            out.fire.copy_to_host_async()
+            out.mapped_pose.quat.copy_to_host_async()
+            out.mapped_pose.trans.copy_to_host_async()
+            self.odom_results.append((t, out.odom_world.trans))
+            self._o_mat = _materialize_ready(self.odom_results, self._o_mat)
+            self.mapped_results.append((t, out.mapped_pose.trans))
+            self._m_mat = _materialize_ready(self.mapped_results, self._m_mat)
+            self.kf_q.put((
+                t, out.mapped_pose, (out.kf_xyz, out.kf_mask, out.kf_ext),
+                out.fire,
+            ))
+            self.stage_busy["frontend"] += time.perf_counter() - t0
+            self.stage_frames["frontend"] += 1
+
     def _mapping_worker(self):
         first = [False]
         get = self.map_q.get_latest if self.drop_backlog else self.map_q.get
@@ -238,12 +291,20 @@ class AsyncSlamPipeline:
         pending = deque()
 
         def process(item):
-            t, mapped_pose, feats, fire = item
+            t, mapped_pose, payload, fire = item
             t0 = time.perf_counter()
             with self._lock:
                 if bool(np.asarray(fire)):
                     with self._first_frame_guard(first):
-                        self.sys._add_keyframe(feats, mapped_pose, t)
+                        if self.fused:
+                            # payload = prepared keyframe buffers (the
+                            # fused step's cond already ran the prep)
+                            kf_xyz, kf_mask, kf_ext = payload
+                            self.sys._add_keyframe_prepared(
+                                kf_xyz, kf_mask, kf_ext, mapped_pose, t
+                            )
+                        else:
+                            self.sys._add_keyframe(payload, mapped_pose, t)
                     self._kf_flag.set()
             self.stage_busy["backend"] += time.perf_counter() - t0
             self.stage_frames["backend"] += 1
@@ -342,6 +403,13 @@ class AsyncSlamPipeline:
         scan = LidarScan.from_numpy(
             np.zeros((16, 3), np.float32), cfg.sensor.max_points
         )
+        if self.fused:
+            from scaloam_tpu.models import frontend as frontend_mod
+
+            fe_tmp = frontend_mod.init_state(cfg)
+            fe_tmp, out = frontend_mod.frontend_step(fe_tmp, scan, cfg)
+            jax.block_until_ready(out.mapped_pose.trans)
+            return
         feats = features.extract_features(scan, cfg)
         o_tmp = odometry_mod.init_state(cfg)
         o_tmp, o_out = odometry_mod.odometry_step(o_tmp, feats, cfg)
@@ -358,14 +426,23 @@ class AsyncSlamPipeline:
         # and a worker with the default fixed-size pthread stack crashed
         # where the (growable-stack) main thread compiles fine.
         old_stack = threading.stack_size(64 * 1024 * 1024)
-        try:
-            for fn in (
+        workers = (
+            (
+                self._fused_frontend_worker,
+                self._backend_worker,
+                self._loop_worker,
+            )
+            if self.fused
+            else (
                 self._registration_worker,
                 self._odometry_worker,
                 self._mapping_worker,
                 self._backend_worker,
                 self._loop_worker,
-            ):
+            )
+        )
+        try:
+            for fn in workers:
                 th = threading.Thread(target=fn, daemon=True)
                 th.start()
                 self._threads.append(th)

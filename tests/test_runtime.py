@@ -62,7 +62,13 @@ def test_bounded_queue_close_unblocks():
 
 
 @pytest.mark.slow
-def test_async_pipeline_matches_sync_odometry(no_persistent_compile_cache):
+@pytest.mark.parametrize("fused", [True, False])
+def test_async_pipeline_matches_sync_odometry(no_persistent_compile_cache,
+                                              fused):
+    """The async runtime (fused single-thread front-end AND the separate
+    3-stage-thread topology) must produce the sync driver's odometry —
+    this doubles as the fused-vs-separate-stages equivalence test
+    (models/frontend.py): the sync driver runs the separate executables."""
     from scaloam_tpu.models.pipeline import SlamSystem
     from scaloam_tpu.runtime.pipeline import AsyncSlamPipeline
     from scaloam_tpu.utils import synthetic
@@ -76,6 +82,7 @@ def test_async_pipeline_matches_sync_odometry(no_persistent_compile_cache):
             corner_cell_cap=32, surf_cell_cap=64,
             max_corner_input=2048, max_surf_input=8192,
         ),
+        runtime=dataclasses.replace(cfg.runtime, fused_frontend=fused),
     )
     world = synthetic.make_world(seed=8)
     scans, _ = synthetic.simulate_trajectory(
@@ -89,6 +96,7 @@ def test_async_pipeline_matches_sync_odometry(no_persistent_compile_cache):
         sync_t.append(np.asarray(r.odom_pose.trans))
 
     pipe = AsyncSlamPipeline(cfg, drop_backlog=False)
+    assert pipe.fused == fused
     pipe.start()
     for i, s in enumerate(scans):
         pipe.feed(0.1 * i, s)
@@ -98,9 +106,14 @@ def test_async_pipeline_matches_sync_odometry(no_persistent_compile_cache):
     assert pipe.dropped_frames == 0
     for (t, got), want in zip(pipe.odom_results, sync_t):
         np.testing.assert_allclose(got, want, atol=1e-4)
+    # keyframe count parity with the sync driver (the fused path routes
+    # keyframe prep through the step's lax.cond + _add_keyframe_prepared)
+    assert len(pipe.sys.keyframes) == len(sync.keyframes)
 
 
-def test_async_pipeline_drains_backlog_on_finish(no_persistent_compile_cache):
+@pytest.mark.parametrize("fused", [True, False])
+def test_async_pipeline_drains_backlog_on_finish(no_persistent_compile_cache,
+                                                 fused):
     """finish() right after feeding must DRAIN, not kill, the stages: exit
     conditions are closed-and-empty input queues, never a stop flag checked
     against a momentarily-empty queue (that races with a slow upstream and
@@ -113,6 +126,7 @@ def test_async_pipeline_drains_backlog_on_finish(no_persistent_compile_cache):
         sensor=dataclasses.replace(
             cfg.sensor, max_points=8192, max_points_per_ring=512
         ),
+        runtime=dataclasses.replace(cfg.runtime, fused_frontend=fused),
     )
     world = synthetic.make_world(seed=2, n_boxes=20, extent=40.0)
     scans, _ = synthetic.simulate_trajectory(

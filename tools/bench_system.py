@@ -1,9 +1,15 @@
-"""Full-SYSTEM throughput on TPU: the async threaded pipeline (features ->
-odometry -> mapping -> keyframes/SC/ICP/PGO) fed with pre-generated
-HDL-64-density scans as fast as it will take them. Reports end-to-end
-scans/s including the backend — the production real-time number (bench.py
-is the front-end kernel number) — plus per-keyframe backend latency and
-loop-closure activity (VERDICT r1 item 3).
+"""Full-SYSTEM throughput on TPU: the async threaded pipeline (fused
+front-end -> keyframes/SC/ICP/PGO) fed with pre-generated HDL-64-density
+scans as fast as it will take them. Reports end-to-end scans/s including
+the backend — the production real-time number (bench.py is the front-end
+kernel number) — plus per-keyframe backend latency and loop-closure
+activity (VERDICT r1 item 3).
+
+Methodology (VERDICT r4 item 8): the HEADLINE is the MEDIAN of N
+identical async runs (default 7; the tunneled single-chip environment
+adds large run-to-run variance), with the full spread reported. The
+queue depth is sized to the course so every fed frame is processed
+(drop-oldest would otherwise skip work and flatter the number).
 
 The course is a closing circle (like run.py --synthetic) so ScanContext
 retrieval, ICP verification and PGO genuinely fire during the timed window.
@@ -37,9 +43,27 @@ def make_course(n_frames=160, radius=22.0):
     return get_scans(n_frames, seed_world=0, speed=1.0, radius=radius)
 
 
+def async_run(cfg, scans):
+    pipe = AsyncSlamPipeline(cfg)
+    pipe.start()
+    t0 = time.time()
+    for f, pts in enumerate(scans):
+        pipe.feed(0.1 * f, pts)
+    pipe.finish()
+    dt = time.time() - t0
+    return pipe, dt
+
+
 def main():
+    n_runs = int(sys.argv[1]) if len(sys.argv) > 1 else 7
     cfg = config.kitti_hdl64()
     n_frames = 160
+    # Hold the whole course: every fed frame is processed (FIFO), so
+    # scans/s = real work done per wall second, not survivors-of-drops.
+    import dataclasses
+    cfg = cfg.replace(runtime=dataclasses.replace(
+        cfg.runtime, queue_depth=n_frames + 8
+    ))
     scans = make_course(n_frames=n_frames)
 
     # Warm every executable (compiles must not ride the timed window):
@@ -52,27 +76,27 @@ def main():
     print(f"warmup+compile pass: {warm_s:.1f}s, "
           f"keyframes={len(warm.keyframes)} loops={len(warm.loops_found)}")
 
-    # --- async end-to-end number ------------------------------------------
-    pipe = AsyncSlamPipeline(cfg)
-    pipe.start()
-    t0 = time.time()
-    for f in range(n_frames):
-        pipe.feed(0.1 * f, scans[f])
-    pipe.finish()
-    dt = time.time() - t0
-    n_done = len(pipe.mapped_results)
-    e2e = n_frames / dt
-    print(
-        f"system: {n_frames} scans fed, {n_done} mapped, "
-        f"{pipe.dropped_frames} dropped, {dt:.2f}s "
-        f"({e2e:.1f} scans/s end-to-end), "
-        f"keyframes={len(pipe.sys.keyframes)} loops={len(pipe.sys.loops_found)}"
-    )
+    # --- async end-to-end runs -------------------------------------------
+    rates, last_pipe = [], None
+    for r in range(n_runs):
+        pipe, dt = async_run(cfg, scans)
+        rates.append(n_frames / dt)
+        last_pipe = pipe
+        print(
+            f"run {r}: {n_frames} scans in {dt:.2f}s "
+            f"({rates[-1]:.1f} scans/s), dropped={pipe.dropped_frames}, "
+            f"keyframes={len(pipe.sys.keyframes)} "
+            f"loops={len(pipe.sys.loops_found)}"
+        )
+    rates_sorted = sorted(rates)
+    median = float(np.median(rates))
+    pipe = last_pipe
     for k in pipe.stage_busy:
         n = max(pipe.stage_frames.get(k, 0), 1)
-        print(f"  stage {k}: busy {pipe.stage_busy[k]:.2f}s over "
-              f"{pipe.stage_frames.get(k, 0)} frames "
-              f"({1e3 * pipe.stage_busy[k] / n:.1f} ms/frame)")
+        if pipe.stage_frames.get(k, 0):
+            print(f"  stage {k}: busy {pipe.stage_busy[k]:.2f}s over "
+                  f"{pipe.stage_frames.get(k, 0)} frames "
+                  f"({1e3 * pipe.stage_busy[k] / n:.1f} ms/frame)")
 
     # --- per-keyframe backend attribution (synchronous, timed blocks) -----
     sys_ = SlamSystem(cfg)
@@ -127,8 +151,11 @@ def main():
         )
 
     summary = {
-        "end_to_end_scans_per_sec": round(e2e, 1),
+        "end_to_end_scans_per_sec_median": round(median, 1),
+        "runs_scans_per_sec": [round(r, 1) for r in rates],
+        "spread": [round(rates_sorted[0], 1), round(rates_sorted[-1], 1)],
         "frames": n_frames,
+        "fused_frontend": bool(pipe.fused),
         "keyframes": len(sys_.keyframes),
         "loops_accepted": len(sys_.loops_found),
         "backend_ms_per_keyframe": {
