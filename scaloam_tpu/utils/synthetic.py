@@ -198,6 +198,96 @@ def simulate_trajectory(
     return scans, np.stack(poses)
 
 
+def render_scan_from_cloud(
+    cloud: np.ndarray,  # [M, 3] world-frame map points
+    R: np.ndarray,  # [3, 3] sensor-to-world rotation
+    t: np.ndarray,  # [3] sensor position
+    n_scans: int = 64,
+    n_azimuth: int = 1024,
+    max_range: float = 80.0,
+    min_range: float = 1.5,
+    fov_up: float = 22.5,
+    fov_down: float = -22.5,
+) -> np.ndarray:
+    """Z-buffer re-render of a REAL merged map as one spinning-lidar scan.
+
+    The virtual-drive harness (VERDICT r4 task 6): no full-rate real
+    sequence ships with the reference, but its 21 real KAIST03 keyframe
+    clouds + optimized poses do — merging them (utils/mapmerge.py) gives a
+    real-structure world cloud that this function re-samples with the
+    OS1-64 beam pattern from ANY interpolated pose: map points project to
+    (ring, azimuth) bins, the nearest point per bin wins (z-buffer), and
+    the winner's EXACT sensor-frame coordinates are returned (no
+    re-quantization onto the beam directions) in the azimuth-major stream
+    order scanRegistration's unwrap expects.
+
+    Returns [K, 3] float32, K = occupied bins."""
+    local = (np.asarray(cloud[:, :3], np.float64) - t) @ R  # world -> sensor
+    r = np.linalg.norm(local, axis=1)
+    keep = (r > min_range) & (r < max_range)
+    local, r = local[keep], r[keep]
+    # Azimuth convention matching simulate_scan: ori = -atan2(y, x),
+    # monotone over the stream.
+    ori = -np.arctan2(local[:, 1], local[:, 0])
+    elev = np.degrees(np.arcsin(np.clip(local[:, 2] / np.maximum(r, 1e-9),
+                                        -1.0, 1.0)))
+    ring = np.round(
+        (fov_up - elev) / (fov_up - fov_down) * (n_scans - 1)
+    ).astype(np.int64)
+    az = np.floor((ori + np.pi) / (2 * np.pi) * n_azimuth).astype(np.int64)
+    az = np.clip(az, 0, n_azimuth - 1)
+    ok = (ring >= 0) & (ring < n_scans)
+    local, r, ring, az = local[ok], r[ok], ring[ok], az[ok]
+    binid = az * n_scans + ring  # azimuth-major stream order
+    order = np.lexsort((r, binid))
+    b_sorted = binid[order]
+    first = np.ones(b_sorted.shape[0], bool)
+    first[1:] = b_sorted[1:] != b_sorted[:-1]
+    winners = order[first]  # already ascending in binid == stream order
+    return local[winners].astype(np.float32)
+
+
+def interpolate_se3(poses: np.ndarray, substeps: int) -> np.ndarray:
+    """Piecewise SE(3) interpolation of a [N, 4, 4] pose chain: `substeps`
+    frames per segment (slerp rotation, lerp translation). Returns
+    [(N-1)*substeps + 1, 4, 4]."""
+    out = []
+    for k in range(len(poses) - 1):
+        Ra, Rb = poses[k][:3, :3], poses[k + 1][:3, :3]
+        ta, tb = poses[k][:3, 3], poses[k + 1][:3, 3]
+        # relative rotation as axis-angle
+        Rrel = Ra.T @ Rb
+        cos_th = np.clip((np.trace(Rrel) - 1.0) / 2.0, -1.0, 1.0)
+        th = np.arccos(cos_th)
+        if th < 1e-9:
+            axis = np.array([0.0, 0.0, 1.0])
+        else:
+            axis = np.array([
+                Rrel[2, 1] - Rrel[1, 2],
+                Rrel[0, 2] - Rrel[2, 0],
+                Rrel[1, 0] - Rrel[0, 1],
+            ]) / (2.0 * np.sin(th))
+        for s in range(substeps):
+            f = s / substeps
+            a = axis * (th * f)
+            ang = np.linalg.norm(a)
+            if ang < 1e-12:
+                Rf = np.eye(3)
+            else:
+                K = np.array([
+                    [0, -a[2], a[1]], [a[2], 0, -a[0]], [-a[1], a[0], 0],
+                ]) / ang
+                Rf = (
+                    np.eye(3) + np.sin(ang) * K + (1 - np.cos(ang)) * K @ K
+                )
+            T = np.eye(4)
+            T[:3, :3] = Ra @ Rf
+            T[:3, 3] = ta + f * (tb - ta)
+            out.append(T)
+    out.append(poses[-1].copy())
+    return np.stack(out)
+
+
 def simulate_trajectory_figure8(
     world: World,
     n_frames: int,
