@@ -69,6 +69,12 @@ class OdometryConfig:
     skip_frame: int = 1  # mapping_skip_frame: republish cadence
     min_correspondences: int = 10  # degenerate guard (:488-491)
     distortion: bool = False  # DISTORTION 0 in reference (:59)
+    # Fused associate+GN Pallas kernel (ops/pallas/gn_odometry.py): the
+    # whole 2x4 relinearize/solve chain as ONE program instead of ~300
+    # launch-bound XLA fusion groups. "auto" = TPU only (the XLA path
+    # remains the CPU/test formulation); forced off under `distortion`
+    # (per-point slerp needs the XLA builders).
+    fused_gn_kernel: str = "auto"  # "auto" | "on" | "off"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -201,6 +207,20 @@ class PGOConfig:
     max_keyframes: int = 4096
     max_loops: int = 512
     optimize_every_n_keyframes: int = 2  # solve cadence in sync driver
+    # Solver selection (models/posegraph.py). "woodbury": CG preconditioned
+    # by the Woodbury inverse (chain + low-rank loops) — iteration count
+    # independent of #loops, the r5 fix for the 8192-tier 1 Hz cadence.
+    # "chain_cg": chain-only preconditioner (r4 behavior; also the
+    # automatic fallback below the node threshold or above the memory cap).
+    solver: str = "woodbury"
+    wb_cg_iters: int = 8  # CG iters under the near-exact Woodbury precond
+    # Below this node capacity the r4 chain-CG path is already fast and
+    # the Woodbury setup (6L-wide chain solve + S Cholesky) isn't worth
+    # its fixed cost per optimize.
+    wb_min_nodes: int = 1024
+    # Memory guard: Z = C^{-1} V is [N, 6, 6L] f32; above this byte size
+    # fall back to chain-CG rather than risk HBM pressure.
+    wb_max_z_bytes: int = 700 * 1024 * 1024
 
 
 @dataclasses.dataclass(frozen=True)

@@ -415,10 +415,15 @@ def _shift_up(x: jax.Array) -> jax.Array:
 
 
 def _gradient_and_diag(factors, N: int):
-    """g = sum A^T W r and block-diagonal of H, per node.
+    """g = sum A^T W r, chain-only block diagonal D_base (odom + gps), and
+    the loop factors' block-diagonal contribution D_loop, per node.
 
     factors = [odom (chain k->k+1, slot k), loops (arbitrary, few), gps
-    (diagonal, slot k)] — only the loops need a true scatter."""
+    (diagonal, slot k)] — only the loops need a true scatter. D_base and
+    D_loop are returned SEPARATELY: the Woodbury solver's chain operator C
+    must exclude the loop blocks (they live in the low-rank V V^T term),
+    while the fallback chain-preconditioned CG wants the full diagonal
+    D_base + D_loop."""
     odom, loops, gps = factors
     Wr_o = odom.W * odom.r
     g = jnp.einsum("frc,fr->fc", odom.Ji, Wr_o, precision=_HI)
@@ -433,9 +438,10 @@ def _gradient_and_diag(factors, N: int):
     Wr_l = loops.W * loops.r
     g = g.at[loops.i].add(jnp.einsum("frc,fr->fc", loops.Ji, Wr_l, precision=_HI))
     g = g.at[loops.j].add(jnp.einsum("frc,fr->fc", loops.Jj, Wr_l, precision=_HI))
-    D = D.at[loops.i].add(jnp.einsum("fri,fr,frj->fij", loops.Ji, loops.W, loops.Ji, precision=_HI))
-    D = D.at[loops.j].add(jnp.einsum("fri,fr,frj->fij", loops.Jj, loops.W, loops.Jj, precision=_HI))
-    return g, D
+    D_loop = jnp.zeros_like(D)
+    D_loop = D_loop.at[loops.i].add(jnp.einsum("fri,fr,frj->fij", loops.Ji, loops.W, loops.Ji, precision=_HI))
+    D_loop = D_loop.at[loops.j].add(jnp.einsum("fri,fr,frj->fij", loops.Jj, loops.W, loops.Jj, precision=_HI))
+    return g, D, D_loop
 
 
 def _hess_matvec(factors, v: jax.Array, damping_diag: jax.Array) -> jax.Array:
@@ -463,29 +469,13 @@ def _hess_matvec(factors, v: jax.Array, damping_diag: jax.Array) -> jax.Array:
     return out
 
 
-def _solve_cg(factors, g, D, free_mask, damping: float, iters: int):
-    """CG for H d = -g on the free nodes, preconditioned by the EXACT
-    chain Hessian (block-tridiagonal cyclic reduction, ops/blocktri.py).
-
-    Block-Jacobi preconditioning cannot close loops on long chains: the
-    global bend modes a loop correction excites have preconditioned
-    eigenvalues ~1e-12 against the stiff odometry blocks, beyond f32 CG.
-    With the chain solved exactly, the preconditioned system is identity
-    plus a rank-O(n_loops) correction and CG converges in ~#loops
-    iterations (measured: a 398-node KAIST03 chain with 28 m drift went
-    from 'loops do nothing at 2048 CG iters' to full recovery at 64)."""
-    N = g.shape[0]
-    odom, loops, gps = factors
-    diag = jnp.diagonal(D, axis1=-2, axis2=-1)  # [N, 6]
-    damp = damping * jnp.maximum(diag, 1e-6) + 1e-8
-
+def _chain_factor(odom, D_blocks, damp, free_mask):
+    """Block-tridiagonal factorization of the chain operator: the given
+    diagonal blocks + damping, odometry couplings off-diagonal.
+    Frozen/padding nodes decouple to identity."""
     fm = free_mask[:, None]
-    eye6 = jnp.eye(6, dtype=D.dtype)
-
-    # Chain system for the preconditioner: all factors' diagonal blocks +
-    # damping, odometry couplings off-diagonal. Frozen/padding nodes
-    # decouple to identity.
-    D_chain = D + damp[:, :, None] * eye6[None] + 1e-6 * eye6[None]
+    eye6 = jnp.eye(6, dtype=D_blocks.dtype)
+    D_chain = D_blocks + damp[:, :, None] * eye6[None] + 1e-6 * eye6[None]
     D_chain = jnp.where(fm[:, :, None], D_chain, eye6[None])
     # coupling (k, k+1) from chain factor k: Ji_k^T W_k Jj_k
     B_chain = jnp.einsum(
@@ -495,14 +485,17 @@ def _solve_cg(factors, g, D, free_mask, damping: float, iters: int):
     pair_free = free_mask & jnp.roll(free_mask, -1)
     pair_free = pair_free.at[-1].set(False)
     B_chain = jnp.where(pair_free[:, None, None], B_chain, 0.0)
-    chain = blocktri.factor(D_chain, B_chain)
+    return blocktri.factor(D_chain, B_chain)
+
+
+def _run_pcg(factors, g, damp, free_mask, precond, iters: int):
+    """Preconditioned CG for H d = -g on the free nodes; `precond` is the
+    (SPD) approximate-inverse application."""
+    fm = free_mask[:, None]
 
     def mv(v):
         v = jnp.where(fm, v, 0.0)
         return jnp.where(fm, _hess_matvec(factors, v, damp), 0.0)
-
-    def precond(v):
-        return jnp.where(fm, blocktri.solve(chain, jnp.where(fm, v, 0.0)), 0.0)
 
     b = jnp.where(fm, -g, 0.0)
     x = jnp.zeros_like(b)
@@ -528,18 +521,161 @@ def _solve_cg(factors, g, D, free_mask, damping: float, iters: int):
     return x
 
 
+def _solve_cg(factors, g, D, D_loop, free_mask, damping: float, iters: int):
+    """CG for H d = -g on the free nodes, preconditioned by the EXACT
+    chain Hessian (block-tridiagonal cyclic reduction, ops/blocktri.py).
+
+    Block-Jacobi preconditioning cannot close loops on long chains: the
+    global bend modes a loop correction excites have preconditioned
+    eigenvalues ~1e-12 against the stiff odometry blocks, beyond f32 CG.
+    With the chain solved exactly, the preconditioned system is identity
+    plus a rank-O(n_loops) correction and CG converges in ~#loops
+    iterations (measured: a 398-node KAIST03 chain with 28 m drift went
+    from 'loops do nothing at 2048 CG iters' to full recovery at 64)."""
+    odom, loops, gps = factors
+    D_full = D + D_loop
+    diag = jnp.diagonal(D_full, axis1=-2, axis2=-1)  # [N, 6]
+    damp = damping * jnp.maximum(diag, 1e-6) + 1e-8
+    fm = free_mask[:, None]
+    chain = _chain_factor(odom, D_full, damp, free_mask)
+
+    def precond(v):
+        return jnp.where(fm, blocktri.solve(chain, jnp.where(fm, v, 0.0)), 0.0)
+
+    return _run_pcg(factors, g, damp, free_mask, precond, iters)
+
+
+def _solve_woodbury(factors, g, D, D_loop, free_mask, damping: float,
+                    iters: int):
+    """CG preconditioned by the WOODBURY inverse of the full Hessian.
+
+    The damped Hessian splits exactly as H = C + V V^T: C is the
+    block-tridiagonal chain operator (odometry couplings + odom/gps/damping
+    diagonal blocks) and each loop factor l contributes the rank-6 term
+    V_l V_l^T with V_l carrying Ji_l^T W_l^{1/2} at node rows i(l) and
+    Jj_l^T W_l^{1/2} at j(l). With Z = C^{-1} V (ONE multi-RHS cyclic-
+    reduction solve over all 6L columns — batched 6x6 ops widen into
+    MXU-shaped matmuls, ops/blocktri.py) and the small Cholesky of
+    S = I + V^T Z, applying
+
+        M^{-1} v = C^{-1} v - C^{-1} V S^{-1} V^T C^{-1} v
+
+    costs two chain solves + O(L) small ops. M^{-1} ~= H^{-1} INCLUDING
+    the loops, so CG converges in a handful of iterations INDEPENDENT of
+    the loop count — unlike the chain-only preconditioner, whose CG
+    iteration count scales with #loops (the r4 8192-tier cadence killer).
+    M is a preconditioner, not a direct solve: the chain solve's per-level
+    f32 regularization (ops/blocktri.py factor(reg)) cannot resolve the
+    chain's softest bend modes (relative size ~1/N^2, below f32 on an
+    8192 chain), and the outer CG is what corrects that bias — a direct
+    f32 Woodbury step would silently under-correct loop closures."""
+    odom, loops, gps = factors
+    N = g.shape[0]
+    L = loops.i.shape[0]
+    D_full = D + D_loop
+    diag = jnp.diagonal(D_full, axis1=-2, axis2=-1)  # [N, 6]
+    damp = damping * jnp.maximum(diag, 1e-6) + 1e-8
+    fm = free_mask[:, None]
+    # Chain operator EXCLUDES the loop blocks (they live in V V^T); damp
+    # uses the full diagonal so the damped H matches the CG path exactly.
+    chain = _chain_factor(odom, D, damp, free_mask)
+
+    # V blocks [L, 6(node), 6(residual)]; frozen-node rows zeroed (loops
+    # touching node 0 must not move it), invalid loops are zero already
+    # (_sanitize zeroes W -> sqrt(W) = 0).
+    sw = jnp.sqrt(loops.W)  # [L, 6]
+    ViT = jnp.swapaxes(loops.Ji, 1, 2) * sw[:, None, :]
+    VjT = jnp.swapaxes(loops.Jj, 1, 2) * sw[:, None, :]
+    ViT = jnp.where(free_mask[loops.i][:, None, None], ViT, 0.0)
+    VjT = jnp.where(free_mask[loops.j][:, None, None], VjT, 0.0)
+
+    # Dense V as a [N, 6, 6L] RHS block: (node, l) scatter indices are
+    # unique by construction (each loop owns its own 6-column block).
+    lidx = jnp.arange(L)
+    Vd = jnp.zeros((N, L, 6, 6), jnp.float32)
+    Vd = Vd.at[loops.i, lidx].set(ViT, unique_indices=True)
+    Vd = Vd.at[loops.j, lidx].set(VjT, unique_indices=True)
+    V6 = Vd.transpose(0, 2, 1, 3).reshape(N, 6, 6 * L)
+    Z = blocktri.solve(chain, V6)  # C^{-1} V, [N, 6, 6L]
+
+    # S = I + V^T Z, assembled through V's sparsity (only rows i/j of Z
+    # contribute) — [L,6,6L] gathers + batched small matmuls, not a dense
+    # [6N, 6L] contraction.
+    S_lr = (
+        jnp.einsum("lnc,lnK->lcK", ViT, Z[loops.i], precision=_HI)
+        + jnp.einsum("lnc,lnK->lcK", VjT, Z[loops.j], precision=_HI)
+    ).reshape(6 * L, 6 * L)
+    S = 0.5 * (S_lr + S_lr.T) + jnp.eye(6 * L, dtype=jnp.float32)
+    # Jacobi-scale to unit diagonal before the Cholesky: S's loop-stiffness
+    # vs chain-softness ratio can reach ~1e4-1e5, and the TPU Cholesky
+    # expansion's internal matmuls round operands to bf16 at DEFAULT
+    # precision — the same failure class as the r4 PGO NaN. Scaling plus
+    # HIGHEST keeps the factorization clean; the identity floor guarantees
+    # diag(S) >= 1.
+    sd = jnp.sqrt(jnp.diagonal(S))
+    S_scaled = S / (sd[:, None] * sd[None, :])
+    # Materialize S^-1 ONCE per GN iteration: a per-CG-iteration cho_solve
+    # would lower to single-RHS TPU triangular solves, which execute as
+    # long sequential column sweeps (the 4096-tier Woodbury first-cut
+    # measured 3x SLOWER than chain-CG because of exactly that); the
+    # eye-RHS solve is one wide blocked call and every preconditioner
+    # application becomes a dense [6L,6L] matvec on the MXU.
+    from jax.scipy.linalg import cho_solve
+
+    with jax.default_matmul_precision("highest"):
+        chol_S = jnp.linalg.cholesky(S_scaled)
+        Sinv = cho_solve((chol_S, True), jnp.eye(6 * L, dtype=jnp.float32))
+    Sinv = Sinv / (sd[:, None] * sd[None, :])  # undo the Jacobi scaling
+
+    def precond(v):
+        y = blocktri.solve(chain, jnp.where(fm, v, 0.0))
+        t = (
+            jnp.einsum("lnc,ln->lc", ViT, y[loops.i])
+            + jnp.einsum("lnc,ln->lc", VjT, y[loops.j])
+        ).reshape(6 * L)
+        w = jnp.einsum("rq,q->r", Sinv, t, precision=_HI).reshape(L, 6)
+        u = jnp.zeros_like(v)
+        u = u.at[loops.i].add(jnp.einsum("lnc,lc->ln", ViT, w))
+        u = u.at[loops.j].add(jnp.einsum("lnc,lc->ln", VjT, w))
+        y2 = blocktri.solve(chain, u)
+        return jnp.where(fm, y - y2, 0.0)
+
+    return _run_pcg(factors, g, damp, free_mask, precond, iters)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "cg_iters"))
 def optimize(graph: PoseGraph, cfg: PGOConfig, cg_iters: int = 64) -> PoseGraph:
     """runISAM2opt equivalent: batch damped GN over the whole graph, warm
-    started from current estimates; node 0 frozen (the 1e-12 prior)."""
+    started from current estimates; node 0 frozen (the 1e-12 prior).
+
+    Solver selection is static (padded capacities are static shapes):
+    large graphs use the Woodbury-preconditioned CG (_solve_woodbury,
+    iteration count independent of #loops); small graphs keep the r4
+    chain-preconditioned CG whose per-optimize cost is already well under
+    cadence at those tiers. `cg_iters` applies to the chain-CG path only
+    (the Woodbury path uses cfg.wb_cg_iters)."""
     N = graph.gps_z.shape[0]
+    L = graph.loop_i.shape[0]
     ks = jnp.arange(N)
     free = (ks > 0) & (ks < graph.n_nodes)
+    use_wb = (
+        cfg.solver == "woodbury"
+        and N >= cfg.wb_min_nodes
+        and N * 6 * 6 * L * 4 <= cfg.wb_max_z_bytes
+    )
 
     def gn_iter(_, g_):
         factors = [_sanitize(f) for f in _linearize(g_, cfg)]
-        grad, D = _gradient_and_diag(factors, N)
-        delta = _solve_cg(factors, grad, D, free, cfg.lm_damping, cg_iters)
+        grad, D, D_loop = _gradient_and_diag(factors, N)
+        if use_wb:
+            delta = _solve_woodbury(
+                factors, grad, D, D_loop, free, cfg.lm_damping,
+                cfg.wb_cg_iters,
+            )
+        else:
+            delta = _solve_cg(
+                factors, grad, D, D_loop, free, cfg.lm_damping, cg_iters
+            )
         dpose = se3.exp_se3(delta)
         new_poses = se3.compose(g_.poses, dpose)
         new_poses = jax.tree.map(

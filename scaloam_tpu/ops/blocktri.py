@@ -50,6 +50,11 @@ def _mv(a, v):
     return jnp.einsum("nij,nj->ni", a, v, precision=_HI)
 
 
+def _mvm(a, v):
+    """Multi-RHS block matvec: a [n,6,6] @ v [n,6,R] -> [n,6,R]."""
+    return jnp.einsum("nij,njr->nir", a, v, precision=_HI)
+
+
 def factor(
     D: jax.Array, B: jax.Array, reg: float = 1e-5
 ) -> List[Tuple[jax.Array, ...]]:
@@ -117,12 +122,21 @@ def factor(
 
 
 def solve(levels: List[Tuple[jax.Array, ...]], b: jax.Array) -> jax.Array:
-    """Solve H x = b given `factor`'s output. b: [N, 6] -> x: [N, 6]."""
+    """Solve H x = b given `factor`'s output.
+
+    b: [N, 6] -> x: [N, 6], or multi-RHS [N, 6, R] -> [N, 6, R] (the
+    Woodbury loop-closure solver applies the chain inverse to all 6L
+    low-rank columns at once — the per-level batched solves/matmuls just
+    get an extra trailing R axis, turning them into MXU-wide work)."""
     n = b.shape[0]
+    mv = _mv if b.ndim == 2 else _mvm
+    tail = b.shape[2:]
     # Padded size = 2 * (first level's odd-block count), or 1 if no levels.
     total = levels[0][0].shape[0] * 2 if len(levels) > 1 else 1
     if total != n:
-        b = jnp.concatenate([b, jnp.zeros((total - n, 6), b.dtype)])
+        b = jnp.concatenate(
+            [b, jnp.zeros((total - n, 6) + tail, b.dtype)]
+        )
 
     # Forward reduction of the RHS.
     rhs_stack = []
@@ -130,8 +144,8 @@ def solve(levels: List[Tuple[jax.Array, ...]], b: jax.Array) -> jax.Array:
         Do, L, R = lev
         bo, be = b[1::2], b[0::2]
         Dinv_bo = _solve6(Do, bo)
-        b_new = be - _mv(L, Dinv_bo)
-        b_new = b_new.at[1:].add(-_mv(jnp.swapaxes(R, 1, 2), Dinv_bo)[:-1])
+        b_new = be - mv(L, Dinv_bo)
+        b_new = b_new.at[1:].add(-mv(jnp.swapaxes(R, 1, 2), Dinv_bo)[:-1])
         rhs_stack.append(bo)
         b = b_new
 
@@ -144,10 +158,10 @@ def solve(levels: List[Tuple[jax.Array, ...]], b: jax.Array) -> jax.Array:
         Do, L, R = lev
         m2 = x.shape[0]
         # odd x: x_o[k] = Do^-1 (bo[k] - L[k]^T x_e[k] - R[k] x_e[k+1])
-        rhs = bo - _mv(jnp.swapaxes(L, 1, 2), x)
-        rhs = rhs.at[:-1].add(-_mv(R[:-1], x[1:]))
+        rhs = bo - mv(jnp.swapaxes(L, 1, 2), x)
+        rhs = rhs.at[:-1].add(-mv(R[:-1], x[1:]))
         xo = _solve6(Do, rhs)
-        out = jnp.zeros((2 * m2, 6), x.dtype)
+        out = jnp.zeros((2 * m2, 6) + tail, x.dtype)
         out = out.at[0::2].set(x).at[1::2].set(xo)
         x = out
     return x[:n]

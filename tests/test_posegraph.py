@@ -94,6 +94,90 @@ def test_loop_closure_corrects_drift(rng):
     assert gap < 0.1
 
 
+def test_woodbury_solver_matches_chain_cg(rng):
+    """The r5 Woodbury-preconditioned solver (low-rank loop term handled
+    exactly in the preconditioner, few CG iterations) must land on the
+    same optimum as the r4 chain-preconditioned CG at 128 iterations."""
+    n = 60
+    gt = _circle_poses(n)
+    odom = _noisy_odometry(gt, rng)
+
+    def build():
+        g = pg.init_graph(CFG)
+        for p in odom:
+            g = pg.add_keyframe(g, p, jnp.float32(0), jnp.array(False))
+        for k in range(5):
+            z = se3.relative(gt[n - 1 - k], gt[k])
+            g = pg.add_loop(g, jnp.int32(n - 1 - k), jnp.int32(k), z)
+        return g
+
+    base = dict(loop_variance=1e-3, gn_iterations=12, cauchy_k=100.0)
+    cfg_wb = dataclasses.replace(
+        CFG, solver="woodbury", wb_min_nodes=1, wb_cg_iters=8, **base
+    )
+    cfg_cg = dataclasses.replace(CFG, solver="chain_cg", **base)
+    g_wb = pg.optimize(build(), cfg_wb)
+    g_cg = pg.optimize(build(), cfg_cg, cg_iters=128)
+    drift_ate = _ate(build().poses, gt, n)
+    ate_wb = _ate(g_wb.poses, gt, n)
+    ate_cg = _ate(g_cg.poses, gt, n)
+    assert ate_wb < 0.6 * drift_ate, (drift_ate, ate_wb)
+    # Same optimum within solver tolerance.
+    d = np.abs(
+        np.asarray(g_wb.poses.trans)[:n] - np.asarray(g_cg.poses.trans)[:n]
+    ).max()
+    assert d < 0.05, (d, ate_wb, ate_cg)
+
+
+def test_woodbury_step_matches_dense_solve(rng):
+    """One Woodbury-preconditioned solve equals the dense numpy solution of
+    the same damped normal equations (H assembled column-by-column from the
+    factor matvec)."""
+    n = 14
+    gt = _circle_poses(n)
+    odom = _noisy_odometry(gt, rng)
+    graph = pg.init_graph(PGOConfig(max_keyframes=16, max_loops=4))
+    for p in odom:
+        graph = pg.add_keyframe(graph, p, jnp.float32(0), jnp.array(False))
+    z = se3.relative(gt[n - 1], gt[0])
+    graph = pg.add_loop(graph, jnp.int32(n - 1), jnp.int32(0), z)
+
+    cfg = PGOConfig(max_keyframes=16, max_loops=4)
+    N = graph.gps_z.shape[0]
+    ks = np.arange(N)
+    free = jnp.asarray((ks > 0) & (ks < int(graph.n_nodes)))
+    factors = [pg._sanitize(f) for f in pg._linearize(graph, cfg)]
+    g, D, D_loop = pg._gradient_and_diag(factors, N)
+    delta = pg._solve_woodbury(
+        factors, g, D, D_loop, free, cfg.lm_damping, iters=12
+    )
+
+    # Dense H from the matvec on basis vectors, restricted to free nodes.
+    diag = np.asarray(jnp.diagonal(D + D_loop, axis1=-2, axis2=-1))
+    damp = jnp.asarray(cfg.lm_damping * np.maximum(diag, 1e-6) + 1e-8)
+    fm = np.asarray(free)
+    cols = []
+    for idx in range(N * 6):
+        e = np.zeros((N, 6), np.float32)
+        e[idx // 6, idx % 6] = 1.0
+        e[~fm] = 0.0
+        col = np.array(
+            pg._hess_matvec(factors, jnp.asarray(e), damp)
+        )
+        col[~fm] = 0.0
+        cols.append(col.reshape(-1))
+    H = np.stack(cols, axis=1).astype(np.float64)
+    rows = np.repeat(fm, 6)
+    b = -np.asarray(g).reshape(-1).astype(np.float64)
+    x = np.zeros(N * 6)
+    x[rows] = np.linalg.solve(H[np.ix_(rows, rows)], b[rows])
+    got = np.asarray(delta).reshape(-1)
+    scale = max(1e-6, np.abs(x).max())
+    assert np.abs(got - x).max() / scale < 5e-3, (
+        np.abs(got - x).max(), scale
+    )
+
+
 def test_gps_pins_altitude(rng):
     n = 40
     gt = _circle_poses(n)
