@@ -188,10 +188,38 @@ def odometry_step(
 ):
     """Process one feature frame; returns (new_state, OdometryOutput)."""
 
+    ocfg = cfg.odometry
+    use_kernel = not ocfg.distortion and (
+        ocfg.fused_gn_kernel == "on"
+        or (ocfg.fused_gn_kernel == "auto" and jax.default_backend() == "tpu")
+    )
+
     def solve_branch(rel):
+        corner_cand, surf_cand = _sweep_candidates(rel, feats, state, cfg)
+        if use_kernel:
+            # Whole associate+GN chain in one Pallas program
+            # (ops/pallas/gn_odometry.py; equivalence vs the XLA path
+            # below pinned by tests/test_pallas_gn.py).
+            from scaloam_tpu.ops.pallas import gn_odometry as gnk
+
+            cpack = gnk.pack_corner(
+                feats.sharp.xyz, corner_cand[0], corner_cand[1],
+                feats.sharp.mask,
+            )
+            spack = gnk.pack_surf(
+                feats.flat.xyz, surf_cand[0], surf_cand[1], surf_cand[2],
+                feats.flat.mask,
+            )
+            q, t, n_c, n_s = gnk.associate_and_solve(
+                cpack, spack, rel.quat, rel.trans,
+                outer_iterations=ocfg.outer_iterations,
+                gn_iterations=ocfg.gn_iterations,
+                thr=ocfg.distance_sq_threshold,
+                huber_delta=ocfg.huber_delta,
+            )
+            return Pose(q, t), n_c, n_s
         n_c = jnp.zeros((), jnp.int32)
         n_s = jnp.zeros((), jnp.int32)
-        corner_cand, surf_cand = _sweep_candidates(rel, feats, state, cfg)
         for _ in range(cfg.odometry.outer_iterations):
             corner_data, surf_data = _associate(
                 rel, feats, corner_cand, surf_cand, cfg
