@@ -235,6 +235,16 @@ class RuntimeConfig:
     # per frame on the async runtime (models/frontend.py). The separate-
     # stage path remains for ablation and skip_frame cadences.
     fused_frontend: bool = True
+    # Max frames the front-end may DISPATCH ahead of device completion.
+    # Host dispatch (~3.6 ms/frame fused) outruns device compute
+    # (~11 ms/frame), so an unthrottled feed queues SECONDS of device
+    # work — every later synchronous fetch (cadenced SC detect, the
+    # backend's lag-window gate flags) then waits out that whole backlog
+    # (measured 1.4 s per detect at 160 frames deep, r5 e2e diagnostic).
+    # The throttle waits (cheap is_ready() poll, no RPC — CLAUDE.md) for
+    # frame k - N before dispatching frame k, bounding every downstream
+    # fetch to ~N frames of queued work. 0 disables.
+    max_dispatch_ahead: int = 12
     loop_detection_hz: float = 1.0
     pgo_hz: float = 1.0
     stage_budget_ms: float = 100.0  # real-time alarm threshold

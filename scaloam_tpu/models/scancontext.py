@@ -165,11 +165,23 @@ class SCManager:
         self.db = append_descriptor(self.db, sc, count=self._n)
         self._n += 1
 
+    def detect_loop_closure_dispatch(self):
+        """Dispatch-only half of detect_loop_closure_id: returns the device
+        (idx, yaw, dist) triple or None when the DB is too small. Lets the
+        async runtime dispatch under its system lock (the DB must not be
+        concurrently appended mid-trace) but FETCH outside it — the fetch
+        can wait out the whole dispatched front-end backlog on the
+        tunneled chip, and holding the lock through that wait starved
+        keyframe ingestion (r5 e2e diagnostic: 1.4 s/detect lock holds)."""
+        if self._n < self.cfg.num_exclude_recent + 1:
+            return None
+        return detect_latest(self.db, self.cfg)
+
     def detect_loop_closure_id(self) -> Tuple[int, float, float]:
-        n = self._n  # host-tracked; int(db.count) would cost a D2H RTT
-        if n < self.cfg.num_exclude_recent + 1:
+        out = self.detect_loop_closure_dispatch()
+        if out is None:
             return -1, 0.0, float("inf")
-        idx, yaw, dist = jax.device_get(detect_latest(self.db, self.cfg))
+        idx, yaw, dist = jax.device_get(out)
         return int(idx), float(yaw), float(dist)
 
     def detect_between_session(self, query_sc) -> Tuple[int, float, float]:

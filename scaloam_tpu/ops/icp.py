@@ -44,30 +44,38 @@ class ICPResult(NamedTuple):
 
 def _run_iters(one_iter, init: Pose, iterations: int,
                transformation_eps: float) -> Pose:
-    """Iterate `one_iter` up to `iterations` times with the reference's
-    transformation-epsilon early exit (setTransformationEpsilon(1e-6),
-    src/laserPosegraphOptimization.cpp:522): stop once the pose update
-    falls below eps (squared translation delta AND quaternion alignment
-    defect) — converged pairs then cost ~a third of the iteration budget
-    (the ICP-verify tail diet, VERDICT r4 weak #4). eps <= 0 restores the
-    fixed-count loop."""
+    """Iterate `one_iter` `iterations` times with the reference's
+    transformation-epsilon convergence test (setTransformationEpsilon(1e-6),
+    src/laserPosegraphOptimization.cpp:522): once the pose update falls
+    below eps (squared translation delta AND quaternion alignment defect)
+    the pose FREEZES for the remaining iterations.
+
+    fori_loop with a frozen-pose flag, NOT lax.while_loop: a data-dependent
+    while_loop cannot be pipelined by XLA and pays a per-iteration
+    scheduling sync on this stack — the r5 first cut used while_loop and
+    the in-system verify went from p50 62 ms (r4, fixed-count) to p50
+    400 ms DESPITE doing fewer iterations. The frozen-pose fori keeps the
+    fixed, pipelineable schedule (deterministic cost, bounded tail) and
+    the converged result is identical to the while-exit semantics.
+    eps <= 0 restores the plain fixed-count loop."""
     if transformation_eps <= 0.0:
         return jax.lax.fori_loop(0, iterations, lambda _, p: one_iter(p), init)
 
-    def cond(carry):
-        i, _, done = carry
-        return (i < iterations) & ~done
-
-    def body(carry):
-        i, pose, _ = carry
+    def body(_, carry):
+        pose, done = carry
         new = one_iter(pose)
         dt2 = jnp.sum((new.trans - pose.trans) ** 2)
         qdefect = 1.0 - jnp.abs(jnp.sum(new.quat * pose.quat))
-        done = (dt2 < transformation_eps) & (qdefect < transformation_eps)
-        return i + 1, new, done
+        frozen = Pose(
+            jnp.where(done, pose.quat, new.quat),
+            jnp.where(done, pose.trans, new.trans),
+        )
+        done = done | ((dt2 < transformation_eps)
+                       & (qdefect < transformation_eps))
+        return frozen, done
 
-    _, pose, _ = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), init, jnp.array(False))
+    pose, _ = jax.lax.fori_loop(
+        0, iterations, body, (init, jnp.array(False))
     )
     return pose
 

@@ -101,6 +101,11 @@ class AsyncSlamPipeline:
         self.stage_busy = {
             "registration": 0.0, "odometry": 0.0, "mapping": 0.0,
             "frontend": 0.0, "backend": 0.0, "loop": 0.0,
+            # diagnostic splits: the backend's blocking gate-flag wait vs
+            # its actual keyframe-add work, and the loop thread's
+            # detect/ICP/optimize blocks (e2e bottleneck attribution).
+            "gate_wait": 0.0, "loop_detect": 0.0, "loop_icp": 0.0,
+            "loop_opt": 0.0,
         }
         self.stage_frames = dict.fromkeys(self.stage_busy, 0)
         # Serializes each stage's FIRST frame (= its jit compiles): jax's
@@ -125,6 +130,9 @@ class AsyncSlamPipeline:
         return self._compile_lock
 
     def _registration_worker(self):
+        from collections import deque
+
+        inflight = deque(maxlen=max(self.cfg.runtime.max_dispatch_ahead, 1))
         first = [False]
         while True:
             item = self.scan_q.get(timeout=0.2)
@@ -141,9 +149,11 @@ class AsyncSlamPipeline:
                 continue
             t, pts = item
             t0 = time.perf_counter()
+            self._throttle(inflight)
             with self._first_frame_guard(first):
                 scan = LidarScan.from_numpy(pts, self.cfg.sensor.max_points)
                 feats = features.extract_features(scan, self.cfg)
+            inflight.append(feats.sharp.xyz)
             self.feat_q.put((t, feats))
             self.stage_busy["registration"] += time.perf_counter() - t0
             self.stage_frames["registration"] += 1
@@ -182,13 +192,28 @@ class AsyncSlamPipeline:
             self.stage_busy["odometry"] += time.perf_counter() - t0
             self.stage_frames["odometry"] += 1
 
+    def _throttle(self, inflight) -> None:
+        """Bound dispatch-ahead: block until the (k - max_dispatch_ahead)th
+        frame's output is computed before dispatching frame k. is_ready()
+        is a cheap local poll (~3-8 us, no tunnel RPC); an unbounded
+        dispatch queue makes every downstream synchronous fetch wait out
+        SECONDS of backlog (see RuntimeConfig.max_dispatch_ahead)."""
+        w = self.cfg.runtime.max_dispatch_ahead
+        if w and len(inflight) == inflight.maxlen:
+            h = inflight[0]
+            while not h.is_ready() and not self._stop.is_set():
+                time.sleep(0.0005)
+
     def _fused_frontend_worker(self):
         """Single-thread fused front-end (models/frontend.py): one jit
         dispatch per frame covering features+odometry+mapping+gate and —
         on keyframe frames, under the step's lax.cond — the keyframe cloud
         prep. Pushes (t, mapped_pose, kf buffers, fire) to the backend."""
+        from collections import deque
+
         from scaloam_tpu.models import frontend as frontend_mod
 
+        inflight = deque(maxlen=max(self.cfg.runtime.max_dispatch_ahead, 1))
         first = [False]
         while True:
             item = self.scan_q.get(timeout=0.2)
@@ -201,6 +226,7 @@ class AsyncSlamPipeline:
                 continue
             t, pts = item
             t0 = time.perf_counter()
+            self._throttle(inflight)
             with self._first_frame_guard(first):
                 scan = LidarScan.from_numpy(pts, self.cfg.sensor.max_points)
                 fe = frontend_mod.FrontendState(
@@ -210,6 +236,7 @@ class AsyncSlamPipeline:
                 self.sys.o_state = fe.o
                 self.sys.m_state = fe.m
                 self.sys.gate_state = fe.gate
+            inflight.append(out.fire)
             # Async D2H only (blocking per-frame fetches serialize the
             # pipeline at one ~23 ms tunnel RTT each — see the separate-
             # stage workers). The backend materializes the gate flag a
@@ -294,7 +321,10 @@ class AsyncSlamPipeline:
             t, mapped_pose, payload, fire = item
             t0 = time.perf_counter()
             with self._lock:
-                if bool(np.asarray(fire)):
+                fire_val = bool(np.asarray(fire))
+                self.stage_busy["gate_wait"] += time.perf_counter() - t0
+                self.stage_frames["gate_wait"] += 1
+                if fire_val:
                     with self._first_frame_guard(first):
                         if self.fused:
                             # payload = prepared keyframe buffers (the
@@ -355,23 +385,46 @@ class AsyncSlamPipeline:
                 # arriving faster than the cadence are not individually
                 # queried (reference :732-742).
                 self._kf_flag.clear()
+                t0 = time.perf_counter()
+                # Dispatch under the lock (no concurrent DB append mid-
+                # trace), FETCH outside it: the fetch waits out whatever
+                # front-end backlog is queued on the shared chip, and
+                # holding the lock through that wait starved keyframe
+                # ingestion (gate_wait ~= wall in the r5 e2e diagnostic).
                 with self._lock:
                     with self._first_frame_guard(first_lcd):
-                        idx, yaw, _ = self.sys.sc.detect_loop_closure_id()
+                        out = self.sys.sc.detect_loop_closure_dispatch()
                     curr = len(self.sys.keyframes) - 1
-                    poses = (
-                        self.sys.fetch_pose_tables() if idx >= 0 else None
-                    )
+                if out is None:
+                    idx = -1
+                    yaw = 0.0
+                else:
+                    import jax as _jax
+
+                    idx_d, yaw_d, _ = _jax.device_get(out)
+                    idx, yaw = int(idx_d), float(yaw_d)
+                poses = None
                 if idx >= 0:
+                    with self._lock:
+                        # detect's fetch just drained the queue: this
+                        # lock-held pose fetch is ~one RTT, not a backlog.
+                        poses = self.sys.fetch_pose_tables()
+                self.stage_busy["loop_detect"] += time.perf_counter() - t0
+                self.stage_frames["loop_detect"] += 1
+                if idx >= 0:
+                    t0 = time.perf_counter()
                     with self._first_frame_guard(first_icp):
                         z = self.sys._icp_verify(curr, idx, yaw, poses=poses)
                     if z is not None:
                         with self._lock:
                             self.sys.commit_loop(curr, idx, z)
+                    self.stage_busy["loop_icp"] += time.perf_counter() - t0
+                    self.stage_frames["loop_icp"] += 1
                 last_lcd = now
             if (
                 done or now - last_opt >= opt_period
             ) and not self._stop.is_set():
+                t0 = time.perf_counter()
                 with self._lock:
                     if len(self.sys.keyframes) > 1:
                         with self._first_frame_guard(first_opt):
@@ -381,6 +434,8 @@ class AsyncSlamPipeline:
                     # per-cycle artifact dump (reference :803-805)
                     if self.sys._writer is not None:
                         self.sys.flush_artifacts()
+                self.stage_busy["loop_opt"] += time.perf_counter() - t0
+                self.stage_frames["loop_opt"] += 1
                 last_opt = now
             if done:
                 # Final pass ran above (cadences forced by `done`): a loop

@@ -55,15 +55,26 @@ def async_run(cfg, scans):
 
 
 def main():
-    n_runs = int(sys.argv[1]) if len(sys.argv) > 1 else 7
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    n_runs = int(args[0]) if args else 7
+    separate = "--separate" in sys.argv  # r4 topology (3 stage threads)
+    drop = "--drop" in sys.argv  # r4 real-time policy (drop-backlog)
     cfg = config.kitti_hdl64()
     n_frames = 160
-    # Hold the whole course: every fed frame is processed (FIFO), so
-    # scans/s = real work done per wall second, not survivors-of-drops.
     import dataclasses
-    cfg = cfg.replace(runtime=dataclasses.replace(
-        cfg.runtime, queue_depth=n_frames + 8
-    ))
+    if drop:
+        # r4-comparable semantics: bounded queues, mapping drops backlog —
+        # the reference's real-time policy (laserMapping.cpp:300-304).
+        cfg = cfg.replace(runtime=dataclasses.replace(
+            cfg.runtime, fused_frontend=not separate
+        ))
+    else:
+        # Hold the whole course: every fed frame is processed (FIFO), so
+        # scans/s = real work done per wall second, not survivors-of-drops.
+        cfg = cfg.replace(runtime=dataclasses.replace(
+            cfg.runtime, queue_depth=n_frames + 8,
+            fused_frontend=not separate,
+        ))
     scans = make_course(n_frames=n_frames)
 
     # Warm every executable (compiles must not ride the timed window):
@@ -97,6 +108,17 @@ def main():
             print(f"  stage {k}: busy {pipe.stage_busy[k]:.2f}s over "
                   f"{pipe.stage_frames.get(k, 0)} frames "
                   f"({1e3 * pipe.stage_busy[k] / n:.1f} ms/frame)")
+
+    if "--nosync" in sys.argv:
+        print(json.dumps({
+            "end_to_end_scans_per_sec_median": round(median, 1),
+            "runs_scans_per_sec": [round(r, 1) for r in rates],
+            "spread": [round(rates_sorted[0], 1), round(rates_sorted[-1], 1)],
+            "fused_frontend": bool(pipe.fused),
+            "dropped_last_run": pipe.dropped_frames,
+            "mapped_frames_last_run": len(pipe.mapped_results),
+        }))
+        return
 
     # --- per-keyframe backend attribution (synchronous, timed blocks) -----
     sys_ = SlamSystem(cfg)
