@@ -213,7 +213,7 @@ class PGOConfig:
     # "chain_cg": chain-only preconditioner (r4 behavior; also the
     # automatic fallback below the node threshold or above the memory cap).
     solver: str = "woodbury"
-    wb_cg_iters: int = 8  # CG iters under the near-exact Woodbury precond
+    wb_cg_iters: int = 6  # CG iters under the near-exact Woodbury precond
     # Below this node capacity the r4 chain-CG path is already fast and
     # the Woodbury setup (6L-wide chain solve + S Cholesky) isn't worth
     # its fixed cost per optimize.

@@ -545,39 +545,23 @@ def _solve_cg(factors, g, D, D_loop, free_mask, damping: float, iters: int):
     return _run_pcg(factors, g, damp, free_mask, precond, iters)
 
 
-def _solve_woodbury(factors, g, D, D_loop, free_mask, damping: float,
-                    iters: int):
-    """CG preconditioned by the WOODBURY inverse of the full Hessian.
+def _woodbury_setup(factors, D, D_loop, free_mask, damping: float):
+    """Build the Woodbury preconditioner state from a linearization point:
+    the chain factorization, the V blocks, and the materialized S^-1.
 
-    The damped Hessian splits exactly as H = C + V V^T: C is the
-    block-tridiagonal chain operator (odometry couplings + odom/gps/damping
-    diagonal blocks) and each loop factor l contributes the rank-6 term
-    V_l V_l^T with V_l carrying Ji_l^T W_l^{1/2} at node rows i(l) and
-    Jj_l^T W_l^{1/2} at j(l). With Z = C^{-1} V (ONE multi-RHS cyclic-
-    reduction solve over all 6L columns — batched 6x6 ops widen into
-    MXU-shaped matmuls, ops/blocktri.py) and the small Cholesky of
-    S = I + V^T Z, applying
-
-        M^{-1} v = C^{-1} v - C^{-1} V S^{-1} V^T C^{-1} v
-
-    costs two chain solves + O(L) small ops. M^{-1} ~= H^{-1} INCLUDING
-    the loops, so CG converges in a handful of iterations INDEPENDENT of
-    the loop count — unlike the chain-only preconditioner, whose CG
-    iteration count scales with #loops (the r4 8192-tier cadence killer).
-    M is a preconditioner, not a direct solve: the chain solve's per-level
-    f32 regularization (ops/blocktri.py factor(reg)) cannot resolve the
-    chain's softest bend modes (relative size ~1/N^2, below f32 on an
-    8192 chain), and the outer CG is what corrects that bias — a direct
-    f32 Woodbury step would silently under-correct loop closures."""
+    Hoisted OUT of the GN loop (one setup per optimize, not one per GN
+    iteration): the preconditioner only steers CG convergence, so using
+    the FIRST iteration's linearization for all GN iterations is harmless
+    — poses move millimeters between warm-started iterations — while the
+    setup (the 6L-wide chain solve + the S Cholesky/inverse) is the
+    dominant Woodbury cost on this stack."""
     odom, loops, gps = factors
-    N = g.shape[0]
+    N = D.shape[0]
     L = loops.i.shape[0]
     D_full = D + D_loop
     diag = jnp.diagonal(D_full, axis1=-2, axis2=-1)  # [N, 6]
     damp = damping * jnp.maximum(diag, 1e-6) + 1e-8
-    fm = free_mask[:, None]
-    # Chain operator EXCLUDES the loop blocks (they live in V V^T); damp
-    # uses the full diagonal so the damped H matches the CG path exactly.
+    # Chain operator EXCLUDES the loop blocks (they live in V V^T).
     chain = _chain_factor(odom, D, damp, free_mask)
 
     # V blocks [L, 6(node), 6(residual)]; frozen-node rows zeroed (loops
@@ -614,18 +598,40 @@ def _solve_woodbury(factors, g, D, D_loop, free_mask, damping: float,
     # diag(S) >= 1.
     sd = jnp.sqrt(jnp.diagonal(S))
     S_scaled = S / (sd[:, None] * sd[None, :])
-    # Materialize S^-1 ONCE per GN iteration: a per-CG-iteration cho_solve
-    # would lower to single-RHS TPU triangular solves, which execute as
-    # long sequential column sweeps (the 4096-tier Woodbury first-cut
-    # measured 3x SLOWER than chain-CG because of exactly that); the
-    # eye-RHS solve is one wide blocked call and every preconditioner
-    # application becomes a dense [6L,6L] matvec on the MXU.
-    from jax.scipy.linalg import cho_solve
+    # Materialize S^-1 by NEWTON-SCHULZ iteration — pure MXU matmuls.
+    # jnp.linalg.cholesky + triangular solves lower to loop-expanded
+    # blocked custom sequences on TPU (sequential column sweeps — the
+    # same class of cost as the cho_solve-per-iteration pitfall), while
+    # X <- X (2I - S X) is two [6L,6L] dense matmuls per step. With the
+    # Jacobi-scaled S (unit diagonal, identity floor) and the classic
+    # safe init X0 = S^T/(||S||_1 ||S||_inf), convergence is monotone and
+    # quadratic; 24 steps covers kappa up to ~1e6 to preconditioner-grade
+    # accuracy (M only steers CG — the outer iteration corrects any
+    # residual bias). This also removes the Cholesky negative-pivot NaN
+    # surface from the S path entirely.
+    n1 = jnp.max(jnp.sum(jnp.abs(S_scaled), axis=0))
+    X = S_scaled.T / jnp.maximum(n1 * n1, 1e-12)  # ||.||_1 = ||.||_inf (sym)
+    eye2 = 2.0 * jnp.eye(6 * L, dtype=jnp.float32)
+    for _ in range(24):
+        SX = jnp.matmul(S_scaled, X, precision=_HI)
+        X = jnp.matmul(X, eye2 - SX, precision=_HI)
+    Sinv = 0.5 * (X + X.T) / (sd[:, None] * sd[None, :])  # unscale, re-sym
+    return chain, ViT, VjT, Sinv, Z
 
-    with jax.default_matmul_precision("highest"):
-        chol_S = jnp.linalg.cholesky(S_scaled)
-        Sinv = cho_solve((chol_S, True), jnp.eye(6 * L, dtype=jnp.float32))
-    Sinv = Sinv / (sd[:, None] * sd[None, :])  # undo the Jacobi scaling
+
+def _wb_precond(wb, loops, free_mask):
+    """Preconditioner application from _woodbury_setup state:
+
+        M^{-1} v = C^{-1} v - Z S^{-1} (V^T C^{-1} v)
+
+    ONE chain solve per application: the correction term's chain inverse
+    is already materialized in Z = C^{-1} V (Z w == C^{-1} V w), so the
+    second chain solve of the textbook form is a dense [N,6,6L] matvec
+    instead (HBM-cheap, and the chain solve is the expensive op on this
+    stack — tools/micro_wb.py)."""
+    chain, ViT, VjT, Sinv, Z = wb
+    L = ViT.shape[0]
+    fm = free_mask[:, None]
 
     def precond(v):
         y = blocktri.solve(chain, jnp.where(fm, v, 0.0))
@@ -633,13 +639,46 @@ def _solve_woodbury(factors, g, D, D_loop, free_mask, damping: float,
             jnp.einsum("lnc,ln->lc", ViT, y[loops.i])
             + jnp.einsum("lnc,ln->lc", VjT, y[loops.j])
         ).reshape(6 * L)
-        w = jnp.einsum("rq,q->r", Sinv, t, precision=_HI).reshape(L, 6)
-        u = jnp.zeros_like(v)
-        u = u.at[loops.i].add(jnp.einsum("lnc,lc->ln", ViT, w))
-        u = u.at[loops.j].add(jnp.einsum("lnc,lc->ln", VjT, w))
-        y2 = blocktri.solve(chain, u)
+        w = jnp.einsum("rq,q->r", Sinv, t, precision=_HI)
+        y2 = jnp.einsum("ncr,r->nc", Z, w, precision=_HI)
         return jnp.where(fm, y - y2, 0.0)
 
+    return precond
+
+
+def _solve_woodbury(factors, g, D, D_loop, free_mask, damping: float,
+                    iters: int, wb=None):
+    """CG preconditioned by the WOODBURY inverse of the full Hessian.
+
+    The damped Hessian splits exactly as H = C + V V^T: C is the
+    block-tridiagonal chain operator (odometry couplings + odom/gps/damping
+    diagonal blocks) and each loop factor l contributes the rank-6 term
+    V_l V_l^T with V_l carrying Ji_l^T W_l^{1/2} at node rows i(l) and
+    Jj_l^T W_l^{1/2} at j(l). With Z = C^{-1} V (ONE multi-RHS cyclic-
+    reduction solve over all 6L columns, ops/blocktri.py) and the
+    materialized inverse of S = I + V^T Z (_woodbury_setup), applying
+
+        M^{-1} v = C^{-1} v - C^{-1} V S^{-1} V^T C^{-1} v
+
+    costs two chain solves + O(L) small ops. M^{-1} ~= H^{-1} INCLUDING
+    the loops, so CG converges in a handful of iterations INDEPENDENT of
+    the loop count — unlike the chain-only preconditioner, whose CG
+    iteration count scales with #loops (the r4 8192-tier cadence killer).
+    M is a preconditioner, not a direct solve: the chain solve's per-level
+    f32 regularization (ops/blocktri.py factor(reg)) cannot resolve the
+    chain's softest bend modes (relative size ~1/N^2, below f32 on an
+    8192 chain), and the outer CG is what corrects that bias — a direct
+    f32 Woodbury step would silently under-correct loop closures.
+
+    `wb` is the optional precomputed _woodbury_setup state (the optimize
+    loop hoists it: one setup per optimize, not per GN iteration)."""
+    odom, loops, gps = factors
+    D_full = D + D_loop
+    diag = jnp.diagonal(D_full, axis1=-2, axis2=-1)  # [N, 6]
+    damp = damping * jnp.maximum(diag, 1e-6) + 1e-8
+    if wb is None:
+        wb = _woodbury_setup(factors, D, D_loop, free_mask, damping)
+    precond = _wb_precond(wb, loops, free_mask)
     return _run_pcg(factors, g, damp, free_mask, precond, iters)
 
 
@@ -664,13 +703,24 @@ def optimize(graph: PoseGraph, cfg: PGOConfig, cg_iters: int = 64) -> PoseGraph:
         and N * 6 * 6 * L * 4 <= cfg.wb_max_z_bytes
     )
 
+    # Woodbury preconditioner setup HOISTED out of the GN loop: built once
+    # from the warm-start linearization (the poses move millimeters between
+    # warm-started GN iterations, so the stale preconditioner still takes
+    # CG to convergence in ~wb_cg_iters) — the setup (6L-wide chain solve +
+    # S Cholesky/inverse) is the dominant Woodbury cost per optimize.
+    wb = None
+    if use_wb:
+        factors0 = [_sanitize(f) for f in _linearize(graph, cfg)]
+        _, D0, D_loop0 = _gradient_and_diag(factors0, N)
+        wb = _woodbury_setup(factors0, D0, D_loop0, free, cfg.lm_damping)
+
     def gn_iter(_, g_):
         factors = [_sanitize(f) for f in _linearize(g_, cfg)]
         grad, D, D_loop = _gradient_and_diag(factors, N)
         if use_wb:
             delta = _solve_woodbury(
                 factors, grad, D, D_loop, free, cfg.lm_damping,
-                cfg.wb_cg_iters,
+                cfg.wb_cg_iters, wb=wb,
             )
         else:
             delta = _solve_cg(

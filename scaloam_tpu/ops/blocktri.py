@@ -13,14 +13,23 @@ into identity + a rank-O(loops) correction, and CG converges in ~#loops
 iterations regardless of the stiffness ratio.
 
 TPU design: cyclic reduction, not the sequential Thomas algorithm — log2(N)
-levels, each a BATCHED set of 6x6 Cholesky solves and matmuls over the
-remaining blocks (vmapped `gn.cholesky_solve6`; no LAPACK lowering, see
-ops/gn.py). A 4096-node chain factors in 12 batched levels. The reference's
-equivalent is gtsam's sequential sparse elimination inside iSAM2.
+levels, each a BATCHED set of 6x6 eliminations over the remaining blocks.
+r5 layout rewrite: everything runs in SoA — each 6x6 block operand is a
+6x6 python list of [m]-vectors (m rides the LANES) and every block op is
+explicit mul-adds on those vectors, exact f32 on the VPU. The previous
+[m, 6, 6] layout put m on sublanes and 6 on lanes (6/128 used) and lowered
+the per-level solves as either unrolled scalar chains broadcast over the
+RHS or tiny-batched matmuls — one 384-RHS chain solve measured 2337 ms at
+N=4096 (tools/micro_wb.py) vs the SoA form's pure lane-parallel madds.
+Diagonal blocks are INVERTED at factor time (narrow work, reused by every
+solve — the chain is refactored once per optimize, applied ~20x).
 
 System: H x = b with H[i,i] = D[i] (6x6 SPD), H[i,i+1] = B[i],
 H[i+1,i] = B[i]^T. N is padded to a power of two with identity diagonal /
-zero coupling (decoupled dummy equations).
+zero coupling (decoupled dummy equations). As of r5 every caller uses this
+as a PRECONDITIONER (models/posegraph.py, parallel/pgo.py), so the
+invert-then-multiply double rounding and the per-level `reg` floor are
+bias the outer CG corrects, never the returned answer.
 """
 
 from __future__ import annotations
@@ -31,33 +40,100 @@ from typing import List, Tuple
 import jax
 import jax.numpy as jnp
 
-from scaloam_tpu.ops import gn
 
-_HI = jax.lax.Precision.HIGHEST
-
-# Solve A X = B for a batch of 6x6 SPD A against 6-column RHS.
-_solve66 = jax.vmap(  # over batch
-    jax.vmap(gn.cholesky_solve6, in_axes=(None, 1), out_axes=1)
-)
-_solve6 = jax.vmap(gn.cholesky_solve6)  # batch, single RHS
+# -- 6x6-block helpers on SoA lists (each entry an [m] or [m, R] vector) ----
 
 
-def _mm(a, b):
-    return jnp.einsum("nij,njk->nik", a, b, precision=_HI)
+def _t66(A: jax.Array):
+    """[m, 6, 6] -> 6x6 nested list of [m] vectors."""
+    return [[A[:, i, j] for j in range(6)] for i in range(6)]
 
 
-def _mv(a, v):
-    return jnp.einsum("nij,nj->ni", a, v, precision=_HI)
+def _mm66(a, b):
+    """c[i][j] = sum_k a[i][k] b[k][j] — 216 lane-parallel mul-adds."""
+    return [
+        [sum(a[i][k] * b[k][j] for k in range(6)) for j in range(6)]
+        for i in range(6)
+    ]
 
 
-def _mvm(a, v):
-    """Multi-RHS block matvec: a [n,6,6] @ v [n,6,R] -> [n,6,R]."""
-    return jnp.einsum("nij,njr->nir", a, v, precision=_HI)
+def _mT(a):
+    return [[a[j][i] for j in range(6)] for i in range(6)]
+
+
+def _msub(a, b):
+    return [[a[i][j] - b[i][j] for j in range(6)] for i in range(6)]
+
+
+def _mv66(a, x):
+    """y[i] = sum_j a[i][j] * x[j]; x entries [m] or [m, R] (a entries [m]
+    broadcast over R via a trailing-axis expand)."""
+    if x[0].ndim == 2:
+        return [
+            sum(a[i][j][:, None] * x[j] for j in range(6)) for i in range(6)
+        ]
+    return [sum(a[i][j] * x[j] for j in range(6)) for i in range(6)]
+
+
+def _chol66(A):
+    """Batched 6x6 Cholesky on SoA lists (entries [m])."""
+    L = [[None] * 6 for _ in range(6)]
+    for j in range(6):
+        s = A[j][j]
+        for k in range(j):
+            s = s - L[j][k] * L[j][k]
+        Ljj = jnp.sqrt(jnp.maximum(s, 1e-20))
+        L[j][j] = Ljj
+        inv = 1.0 / Ljj
+        for i in range(j + 1, 6):
+            s = A[i][j]
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            L[i][j] = s * inv
+    return L
+
+def _chol_solve_cols(L, cols):
+    """Solve L L^T X = B for each column list in `cols` (entries [m] or
+    python scalars for unit RHS)."""
+    out = []
+    for b in cols:
+        y = [None] * 6
+        for i in range(6):
+            s = b[i]
+            for k in range(i):
+                s = s - L[i][k] * y[k]
+            y[i] = s / L[i][i]
+        x = [None] * 6
+        for i in reversed(range(6)):
+            s = y[i]
+            for k in range(i + 1, 6):
+                s = s - L[k][i] * x[k]
+            x[i] = s / L[i][i]
+        out.append(x)
+    return out
+
+
+def _inv66(A):
+    """Inverse of batched SPD 6x6 SoA blocks (Cholesky vs unit columns)."""
+    L = _chol66(A)
+    zero = jnp.zeros_like(A[0][0])
+    one = jnp.ones_like(A[0][0])
+    cols = [[one if i == j else zero for i in range(6)] for j in range(6)]
+    X = _chol_solve_cols(L, cols)  # X[j] = column j
+    return [[X[j][i] for j in range(6)] for i in range(6)]
+
+
+def _even(v):
+    return [[x[0::2] for x in row] for row in v]
+
+
+def _odd(v):
+    return [[x[1::2] for x in row] for row in v]
 
 
 def factor(
     D: jax.Array, B: jax.Array, reg: float = 1e-5
-) -> List[Tuple[jax.Array, ...]]:
+) -> List[Tuple[list, ...]]:
     """Cyclic-reduction factorization.
 
     Args:
@@ -71,12 +147,11 @@ def factor(
         odometry variances). Adding reg*mean(diag)*I after each level
         caps the factorization's conditioning at ~1/reg; as a CG
         PRECONDITIONER the bias is harmless (a few extra iterations)
-        where a NaN is fatal. Set 0.0 for an exact direct solve on
-        well-conditioned systems.
+        where a NaN is fatal.
 
-    Returns a list of per-level tuples consumed by `solve`. Shapes are
-    static: N is padded to the next power of two internally.
-    """
+    Returns per-level tuples (Do_inv, L, R) — each a 6x6 SoA list — plus
+    the root inverse, consumed by `solve`. Shapes are static: N is padded
+    to the next power of two internally."""
     n = D.shape[0]
     size = 1
     while size < n:
@@ -89,82 +164,97 @@ def factor(
     # Decouple the last (possibly padded) block from the padding region.
     B = B.at[n - 1 :].set(0.0) if n < size else B.at[size - 1].set(0.0)
 
+    Dt, Bt = _t66(D), _t66(B)
     levels = []
-    while D.shape[0] > 1:
-        m = D.shape[0]
-        Do, Bo = D[1::2], B[1::2]  # odd blocks (eliminated this level)
-        De, Be = D[0::2], B[0::2]  # even blocks (survive)
-        # For each odd index i = 2k+1: left neighbor 2k, right neighbor
-        # 2k+2. Couplings: L[k] = B[2k] (even->odd), R[k] = B[2k+1]
-        # (odd->even-right).
-        L = Be  # [m/2, 6, 6]
-        R = Bo
-        Dinv_L_T = _solve66(Do, jnp.swapaxes(L, 1, 2))  # Do^-1 L^T
-        Dinv_R = _solve66(Do, R)  # Do^-1 R
+    m = size
+    while m > 1:
+        Do, De = _odd(Dt), _even(Dt)
+        L, R = _even(Bt), _odd(Bt)  # L[k] = B[2k], R[k] = B[2k+1]
+        Do_inv = _inv66(Do)
         # Even diagonal updates:
         #   D'[k]   -= L[k] Do[k]^-1 L[k]^T      (from the right neighbor)
         #   D'[k+1] -= R[k]^T Do[k]^-1 R[k]      (from the left neighbor)
-        upd_right = _mm(L, Dinv_L_T)  # contributes to even k
-        upd_left = _mm(jnp.swapaxes(R, 1, 2), Dinv_R)  # to even k+1
-        D_new = De - upd_right
-        D_new = D_new.at[1:].add(-upd_left[:-1])
+        upd_right = _mm66(L, _mm66(Do_inv, _mT(L)))
+        upd_left = _mm66(_mT(R), _mm66(Do_inv, R))
+        D_new = _msub(De, upd_right)
+        for i in range(6):
+            for j in range(6):
+                D_new[i][j] = D_new[i][j].at[1:].add(-upd_left[i][j][:-1])
         if reg:
-            tr = jnp.einsum("nii->n", D_new) * (reg / 6.0)
-            D_new = D_new + tr[:, None, None] * jnp.eye(6, dtype=D.dtype)
+            tr = sum(D_new[i][i] for i in range(6)) * (reg / 6.0)
+            for i in range(6):
+                D_new[i][i] = D_new[i][i] + tr
         # New coupling between consecutive even blocks k and k+1 (through
         # the eliminated odd block between them): B'[k] = -L[k] Do^-1 R[k].
-        B_new = -_mm(L, Dinv_R)
-        B_new = B_new.at[-1].set(0.0)  # last even block has no right nbr
-        levels.append((Do, L, R))
-        D, B = D_new, B_new
-    levels.append((D,))  # final 1-block system
+        B_new = _mm66(L, _mm66(Do_inv, R))
+        B_new = [[-v for v in row] for row in B_new]
+        for i in range(6):
+            for j in range(6):
+                B_new[i][j] = B_new[i][j].at[-1].set(0.0)
+        levels.append((Do_inv, L, R))
+        Dt, Bt = D_new, B_new
+        m //= 2
+    levels.append((_inv66(Dt),))
     return levels
 
 
-def solve(levels: List[Tuple[jax.Array, ...]], b: jax.Array) -> jax.Array:
+def solve(levels: List[Tuple[list, ...]], b: jax.Array) -> jax.Array:
     """Solve H x = b given `factor`'s output.
 
     b: [N, 6] -> x: [N, 6], or multi-RHS [N, 6, R] -> [N, 6, R] (the
     Woodbury loop-closure solver applies the chain inverse to all 6L
-    low-rank columns at once — the per-level batched solves/matmuls just
-    get an extra trailing R axis, turning them into MXU-wide work)."""
+    low-rank columns at once; in SoA form the wide solve is the same
+    lane-parallel madd chain with an extra trailing axis)."""
     n = b.shape[0]
-    mv = _mv if b.ndim == 2 else _mvm
     tail = b.shape[2:]
-    # Padded size = 2 * (first level's odd-block count), or 1 if no levels.
-    total = levels[0][0].shape[0] * 2 if len(levels) > 1 else 1
+    total = levels[0][0][0][0].shape[0] * 2 if len(levels) > 1 else 1
     if total != n:
-        b = jnp.concatenate(
-            [b, jnp.zeros((total - n, 6) + tail, b.dtype)]
-        )
+        b = jnp.concatenate([b, jnp.zeros((total - n, 6) + tail, b.dtype)])
+    bl = [b[:, i] for i in range(6)]
 
     # Forward reduction of the RHS.
     rhs_stack = []
     for lev in levels[:-1]:
-        Do, L, R = lev
-        bo, be = b[1::2], b[0::2]
-        Dinv_bo = _solve6(Do, bo)
-        b_new = be - mv(L, Dinv_bo)
-        b_new = b_new.at[1:].add(-mv(jnp.swapaxes(R, 1, 2), Dinv_bo)[:-1])
+        Do_inv, L, R = lev
+        bo = [v[1::2] for v in bl]
+        be = [v[0::2] for v in bl]
+        Dinv_bo = _mv66(Do_inv, bo)
+        t1 = _mv66(L, Dinv_bo)
+        t2 = _mv66(_mT(R), Dinv_bo)
+        b_new = [be[i] - t1[i] for i in range(6)]
+        b_new = [v.at[1:].add(-t2[i][:-1]) for i, v in enumerate(b_new)]
         rhs_stack.append(bo)
-        b = b_new
+        bl = b_new
 
     # Solve the root system.
-    (D_root,) = levels[-1]
-    x = _solve6(D_root, b)
+    (root_inv,) = levels[-1]
+    x = _mv66(root_inv, bl)
 
     # Back substitution.
     for lev, bo in zip(reversed(levels[:-1]), reversed(rhs_stack)):
-        Do, L, R = lev
-        m2 = x.shape[0]
+        Do_inv, L, R = lev
         # odd x: x_o[k] = Do^-1 (bo[k] - L[k]^T x_e[k] - R[k] x_e[k+1])
-        rhs = bo - mv(jnp.swapaxes(L, 1, 2), x)
-        rhs = rhs.at[:-1].add(-mv(R[:-1], x[1:]))
-        xo = _solve6(Do, rhs)
-        out = jnp.zeros((2 * m2, 6) + tail, x.dtype)
-        out = out.at[0::2].set(x).at[1::2].set(xo)
+        t1 = _mv66(_mT(L), x)
+        rhs = [bo[i] - t1[i] for i in range(6)]
+        if x[0].ndim == 2:
+            t2 = [
+                sum(R[i][j][:-1, None] * x[j][1:] for j in range(6))
+                for i in range(6)
+            ]
+        else:
+            t2 = [
+                sum(R[i][j][:-1] * x[j][1:] for j in range(6))
+                for i in range(6)
+            ]
+        rhs = [v.at[:-1].add(-t2[i]) for i, v in enumerate(rhs)]
+        xo = _mv66(Do_inv, rhs)
+        m2 = x[0].shape[0]
+        out = []
+        for i in range(6):
+            o = jnp.zeros((2 * m2,) + tail, x[i].dtype)
+            out.append(o.at[0::2].set(x[i]).at[1::2].set(xo[i]))
         x = out
-    return x[:n]
+    return jnp.stack(x, axis=1)[:n]
 
 
 @functools.partial(jax.jit)
