@@ -221,6 +221,27 @@ class PGOConfig:
     # Memory guard: Z = C^{-1} V is [N, 6, 6L] f32; above this byte size
     # fall back to chain-CG rather than risk HBM pressure.
     wb_max_z_bytes: int = 700 * 1024 * 1024
+    # Upper node bound for Woodbury: the 6L-wide multi-RHS chain solve in
+    # its setup scales pathologically on this stack (tools/micro_wb.py:
+    # 1.9 s at N=4096, 5.0 s at N=8192 standalone — [m, R]-shaped
+    # per-level passes run ~50x below HBM peak regardless of formulation)
+    # and stops paying for itself past this tier.
+    wb_max_nodes: int = 4096
+    # Above wb_max_nodes the chain-CG fallback runs with this reduced
+    # iteration count: each 1 Hz tick then performs a PARTIAL solve that
+    # the warm-started next tick refines further — the incremental-update
+    # regime of the reference's iSAM2 (relinearizeThreshold 0.01,
+    # laserPosegraphOptimization.cpp:881-884), chosen to keep the
+    # 8192-tier optimize inside the 1 Hz cadence.
+    cg_iters_large: int = 24
+    # ONE GN sweep per tick above wb_max_nodes: each tick relinearizes
+    # once and takes a 24-iteration truncated-Newton step — the same
+    # incremental regime as the reference's single iSAM2 update per tick
+    # (laserPosegraphOptimization.cpp:791-808); the 1 Hz warm-started
+    # cadence supplies the outer iteration. Measured at 8192: the
+    # per-tick fixed cost (linearize + Hessian-block assembly) is
+    # ~520 ms/GN, so 2 GN broke the 1 s budget (1752 ms) where 1 holds it.
+    gn_iterations_large: int = 1
 
 
 @dataclasses.dataclass(frozen=True)

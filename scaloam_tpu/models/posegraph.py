@@ -699,9 +699,18 @@ def optimize(graph: PoseGraph, cfg: PGOConfig, cg_iters: int = 64) -> PoseGraph:
     free = (ks > 0) & (ks < graph.n_nodes)
     use_wb = (
         cfg.solver == "woodbury"
-        and N >= cfg.wb_min_nodes
+        and cfg.wb_min_nodes <= N <= cfg.wb_max_nodes
         and N * 6 * 6 * L * 4 <= cfg.wb_max_z_bytes
     )
+    # Beyond the Woodbury tier, run chain-CG with the reduced large-tier
+    # iteration counts: partial per-tick solves + the 1 Hz warm start act
+    # as incremental refinement (see PGOConfig.cg_iters_large) — measured
+    # 14.7 ms per CG iteration at the 8192 tier (tools/micro_wb.py), so
+    # 2 GN x 24 CG holds the reference's 1 Hz cadence.
+    gn_iters = cfg.gn_iterations
+    if N > cfg.wb_max_nodes:
+        cg_iters = min(cg_iters, cfg.cg_iters_large)
+        gn_iters = min(gn_iters, cfg.gn_iterations_large)
 
     # Woodbury preconditioner setup HOISTED out of the GN loop: built once
     # from the warm-start linearization (the poses move millimeters between
@@ -734,4 +743,4 @@ def optimize(graph: PoseGraph, cfg: PGOConfig, cg_iters: int = 64) -> PoseGraph:
         )
         return g_._replace(poses=new_poses)
 
-    return jax.lax.fori_loop(0, cfg.gn_iterations, gn_iter, graph)
+    return jax.lax.fori_loop(0, gn_iters, gn_iter, graph)

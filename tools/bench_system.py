@@ -62,6 +62,10 @@ def main():
     cfg = config.kitti_hdl64()
     n_frames = 160
     import dataclasses
+    if "--nokernel" in sys.argv:  # odometry GN kernel ablation
+        cfg = cfg.replace(odometry=dataclasses.replace(
+            cfg.odometry, fused_gn_kernel="off"
+        ))
     if drop:
         # r4-comparable semantics: bounded queues, mapping drops backlog —
         # the reference's real-time policy (laserMapping.cpp:300-304).
